@@ -1,0 +1,462 @@
+"""Config system: frozen dataclass + named presets.
+
+Re-designs the reference's Sacred experiment config (reference
+vilt/config.py:24-116 base keys, :119-471 named configs) as a typed,
+immutable dataclass.  CLI composition `build_config("task_moco",
+text_view=True)` mirrors `python run.py with task_moco text_view=True`.
+
+TPU-specific additions (not in the reference):
+  * image_bucket_hw     — static (H, W) canvas the input pipeline pads to,
+                          replacing per-batch-max padding so XLA compiles once
+  * use_pallas_attention— fused masked-attention kernel toggle
+  * mesh_shape / mesh_axis_names — jax.sharding.Mesh layout
+  * compute_dtype       — bf16 activations on the MXU (replaces AMP fp16)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Any, Dict, List, Optional, Tuple
+
+# Loss-name multiplexer — reference vilt/config.py:6-21.  A task is active
+# iff its weight >= 1 (reference vilt/modules/vilt_utils.py:325-329).
+LOSS_KEYS = (
+    "moco",
+    "barlowtwins",
+    "itm",
+    "mlm",
+    "mpp",
+    "vqa",
+    "nlvr2",
+    "irtr",
+    "irtr_attacked",
+    "nlvr2_attacked",
+    "vqa_attacked",
+)
+
+
+def loss_names(d: Optional[Dict[str, float]] = None) -> Dict[str, float]:
+    ret = {k: 0.0 for k in LOSS_KEYS}
+    if d:
+        ret.update(d)
+    return ret
+
+
+@dataclass(frozen=True)
+class RMCLConfig:
+    # Experiment
+    exp_name: str = "rmcl"
+    seed: int = 0
+    datasets: Tuple[str, ...] = ("coco", "vg", "sbu", "gcc")
+    loss_names: Dict[str, float] = field(default_factory=lambda: loss_names({"itm": 1, "mlm": 1}))
+    batch_size: int = 4096  # desired global batch; grad accumulation fills the gap
+
+    # Image
+    train_transform_keys: Tuple[str, ...] = ("pixelbert",)
+    val_transform_keys: Tuple[str, ...] = ("pixelbert",)
+    image_size: int = 384
+    max_image_len: int = -1
+    patch_size: int = 32
+    draw_false_image: int = 1
+    image_only: bool = False
+
+    # Text
+    vqav2_label_size: int = 3129
+    max_text_len: int = 40
+    tokenizer: str = "bert-base-uncased"
+    vocab_size: int = 30522
+    whole_word_masking: bool = False
+    mlm_prob: float = 0.15
+    draw_false_text: int = 0
+
+    # Transformer
+    vit: str = "vit_base_patch32_384"
+    hidden_size: int = 768
+    num_heads: int = 12
+    num_layers: int = 12
+    mlp_ratio: int = 4
+    drop_rate: float = 0.1
+
+    # Optimizer
+    optim_type: str = "adamw"
+    learning_rate: float = 1e-4
+    weight_decay: float = 0.01
+    decay_power: Any = 1  # 1 | "cosine" | float power
+    max_epoch: int = 100
+    max_steps: Optional[int] = 25000
+    warmup_steps: Any = 2500  # int steps or float fraction of max_steps
+    end_lr: float = 0.0
+    lr_mult: float = 1.0  # downstream-head LR multiplier
+
+    # Downstream
+    get_recall_metric: bool = False
+
+    # Contrastive
+    multimodal: bool = False
+    num_negative: int = 0
+    text_view: bool = False
+    image_view: bool = False
+    augmentation: bool = False
+    num_beams: int = 20
+    num_return_sequences: int = 20
+    type_txt_augm: Tuple[str, ...] = ("PEGASUS", "EDA")
+    momentum: float = 1.0
+    temperature: float = 1.0
+    adv_lr: float = 0.0051  # doubles as the Barlow-Twins off-diag lambda
+
+    # Attacks — PGD (reference vilt/config.py:89-92)
+    adv_steps_img: int = 5
+    adv_lr_img: float = 0.5
+    adv_max_norm_img: float = 0.1
+    attack_idx: Tuple[bool, bool] = (False, False)
+    # Attacks — geometric greedy (reference vilt/config.py:94-100)
+    n_candidates: int = 5
+    max_loops: int = 10
+    sim_thred: float = 0.5
+    cos_sim: bool = True
+    synonym: str = "cos_sim"
+    embedding_path: str = "./attack/counter-fitted-vectors.txt"
+    sim_path: str = "cos_sim_counter_fitting.npy"
+
+    # Trainer
+    resume_from: Optional[str] = None
+    fast_dev_run: bool = False
+    val_check_interval: float = 1.0
+    test_only: bool = False
+
+    # Environment
+    data_root: str = ""
+    log_dir: str = "result"
+    per_device_batchsize: int = 0
+    num_devices: int = 1
+    num_nodes: int = 1
+    load_path: str = ""
+    num_workers: int = 4
+    precision: int = 16  # kept for parity; on TPU this selects bf16 compute
+
+    # ----- TPU-native knobs (no reference counterpart) -----
+    image_bucket_hw: Tuple[int, int] = (384, 640)  # static pad canvas (H, W)
+    use_pallas_attention: bool = True
+    compute_dtype: str = "bfloat16"
+    mesh_shape: Tuple[int, ...] = (1,)
+    mesh_axis_names: Tuple[str, ...] = ("data",)
+    remat_blocks: bool = False  # jax.checkpoint each transformer block
+    log_every_n_steps: int = 10
+
+    # ---------------------------------------------------------------
+    @property
+    def per_step_bs(self) -> int:
+        """Global per-optimizer-step batch (reference vilt_module.py:73)."""
+        return self.num_devices * self.num_nodes * self.per_device_batchsize
+
+    @property
+    def grid_hw(self) -> Tuple[int, int]:
+        """Static patch-grid dims of the padded canvas."""
+        h, w = self.image_bucket_hw
+        return h // self.patch_size, w // self.patch_size
+
+    @property
+    def num_patches(self) -> int:
+        gh, gw = self.grid_hw
+        return gh * gw
+
+    @property
+    def image_seq_len(self) -> int:
+        """Image tokens incl. CLS after (optional) static patch selection."""
+        n = self.num_patches
+        if self.max_image_len and self.max_image_len > 0:
+            n = min(n, self.max_image_len)
+        return n + 1
+
+    @property
+    def text_seq_len(self) -> int:
+        return self.max_text_len
+
+    @property
+    def seq_len(self) -> int:
+        return self.text_seq_len + self.image_seq_len
+
+    def replace(self, **kw) -> "RMCLConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# ---------------------------------------------------------------------------
+# Named presets — mirror reference vilt/config.py:119-471 one-for-one.
+# Each maps to a dict of overrides applied on top of the base config.
+# ---------------------------------------------------------------------------
+
+_ATTACK_DEFAULTS = dict(
+    adv_steps_img=5,
+    adv_lr_img=0.05,
+    adv_max_norm_img=0.005,
+    n_candidates=5,
+    max_loops=10,
+    sim_thred=0.5,
+    cos_sim=True,
+    synonym="cos_sim",
+)
+
+NAMED_CONFIGS: Dict[str, Dict[str, Any]] = {
+    # reference vilt/config.py:119-124
+    "env_dandelin": dict(num_devices=8, num_nodes=1),
+    # reference vilt/config.py:128-164
+    "task_moco": dict(
+        exp_name="moco",
+        datasets=("coco",),
+        multimodal=True,
+        num_negative=65536,
+        momentum=0.999,
+        temperature=0.07,
+        augmentation=False,
+        num_beams=5,
+        num_return_sequences=5,
+        loss_names=loss_names({"moco": 1}),
+        batch_size=128,
+        max_epoch=1,
+        max_image_len=200,
+        **_ATTACK_DEFAULTS,
+    ),
+    # reference vilt/config.py:166-199
+    "task_barlowtwins": dict(
+        exp_name="barlowtwins",
+        datasets=("coco",),
+        multimodal=True,
+        augmentation=False,
+        loss_names=loss_names({"barlowtwins": 1}),
+        adv_lr=0.0051,
+        batch_size=128,
+        max_epoch=1,
+        max_image_len=200,
+        **_ATTACK_DEFAULTS,
+    ),
+    # reference vilt/config.py:201-209
+    "task_mlm_itm": dict(
+        exp_name="mlm_itm",
+        datasets=("coco",),
+        loss_names=loss_names({"itm": 1, "mlm": 1}),
+        batch_size=4096,
+        max_epoch=10,
+        max_image_len=200,
+    ),
+    # reference vilt/config.py:212-220
+    "task_mlm_itm_randaug": dict(
+        exp_name="mlm_itm_randaug",
+        datasets=("coco", "vg", "sbu", "gcc"),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"itm": 1, "mlm": 1}),
+        batch_size=4096,
+        max_epoch=10,
+        max_image_len=200,
+    ),
+    # reference vilt/config.py:223-230
+    "task_mlm_itm_mpp": dict(
+        exp_name="mlm_itm_mpp",
+        datasets=("coco", "vg", "sbu", "gcc"),
+        loss_names=loss_names({"itm": 1, "mlm": 1, "mpp": 1}),
+        batch_size=4096,
+        max_epoch=10,
+        max_image_len=200,
+    ),
+    # reference vilt/config.py:233-243
+    "task_finetune_nlvr2": dict(
+        exp_name="finetune_nlvr2",
+        datasets=("nlvr2",),
+        loss_names=loss_names({"nlvr2": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        draw_false_image=0,
+        learning_rate=1e-4,
+    ),
+    # reference vilt/config.py:245-256
+    "task_finetune_nlvr2_randaug": dict(
+        exp_name="finetune_nlvr2_randaug",
+        datasets=("nlvr2",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"nlvr2": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        draw_false_image=0,
+        learning_rate=1e-4,
+    ),
+    # reference vilt/config.py:258-287
+    "task_finetune_nlvr2_randaug_attacked": dict(
+        exp_name="finetune_nlvr2_randaug_attacked",
+        datasets=("nlvr2",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"nlvr2_attacked": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        draw_false_image=0,
+        learning_rate=1e-4,
+        attack_idx=(True, True),
+        **_ATTACK_DEFAULTS,
+    ),
+    # reference vilt/config.py:289-301
+    "task_finetune_vqa": dict(
+        exp_name="finetune_vqa",
+        datasets=("vqa",),
+        loss_names=loss_names({"vqa": 1}),
+        batch_size=256,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        draw_false_image=0,
+        learning_rate=1e-4,
+        val_check_interval=0.1,
+        lr_mult=10,
+    ),
+    # reference vilt/config.py:304-317
+    "task_finetune_vqa_randaug": dict(
+        exp_name="finetune_vqa_randaug",
+        datasets=("vqa",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"vqa": 1}),
+        batch_size=256,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        draw_false_image=0,
+        learning_rate=1e-4,
+        val_check_interval=0.1,
+        lr_mult=10,
+    ),
+    # reference vilt/config.py:319-347
+    "task_finetune_vqa_randaug_attacked": dict(
+        exp_name="finetune_vqa_randaug_attacked",
+        datasets=("vqa",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"vqa_attacked": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        draw_false_image=0,
+        learning_rate=1e-4,
+        val_check_interval=0.1,
+        lr_mult=10,
+        **_ATTACK_DEFAULTS,
+    ),
+    # reference vilt/config.py:349-360
+    "task_finetune_irtr_coco": dict(
+        exp_name="finetune_irtr_coco",
+        datasets=("coco",),
+        loss_names=loss_names({"itm": 0.5, "irtr": 1}),
+        batch_size=256,
+        max_epoch=128,
+        max_steps=None,
+        warmup_steps=0.1,
+        get_recall_metric=True,
+        draw_false_text=15,
+        learning_rate=1e-4,
+    ),
+    # reference vilt/config.py:363-375
+    "task_finetune_irtr_coco_randaug": dict(
+        exp_name="finetune_irtr_coco_randaug",
+        datasets=("coco",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"itm": 0.5, "irtr": 1}),
+        batch_size=128,
+        max_epoch=2,
+        max_steps=None,
+        warmup_steps=0.1,
+        get_recall_metric=True,
+        draw_false_text=15,
+        learning_rate=1e-4,
+    ),
+    # reference vilt/config.py:377-406
+    "task_finetune_irtr_coco_randaug_attacked": dict(
+        exp_name="finetune_irtr_coco_randaug_attacked",
+        datasets=("coco",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"itm": 0.5, "irtr_attacked": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        get_recall_metric=True,
+        draw_false_text=15,
+        learning_rate=1e-4,
+        test_only=True,
+        attack_idx=(False, True),
+        **{**_ATTACK_DEFAULTS, "max_loops": 4},
+    ),
+    # reference vilt/config.py:408-419
+    "task_finetune_irtr_f30k": dict(
+        exp_name="finetune_irtr_f30k",
+        datasets=("f30k",),
+        loss_names=loss_names({"itm": 0.5, "irtr": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        get_recall_metric=True,
+        draw_false_text=15,
+        learning_rate=1e-4,
+    ),
+    # reference vilt/config.py:422-434
+    "task_finetune_irtr_f30k_randaug": dict(
+        exp_name="finetune_irtr_f30k_randaug",
+        datasets=("f30k",),
+        train_transform_keys=("pixelbert_randaug",),
+        loss_names=loss_names({"itm": 0.5, "irtr": 1}),
+        batch_size=128,
+        max_epoch=10,
+        max_steps=None,
+        warmup_steps=0.1,
+        get_recall_metric=True,
+        draw_false_text=15,
+        learning_rate=1e-4,
+    ),
+    # reference vilt/config.py:440-461
+    "step25k": dict(max_epoch=100, max_steps=25000),
+    "step50k": dict(max_epoch=100, max_steps=50000),
+    "step100k": dict(max_epoch=100, max_steps=100000),
+    "step200k": dict(max_epoch=200, max_steps=200000),
+    # reference vilt/config.py:464-471
+    "vit32_base": dict(
+        vit="vit_base_patch32_384",
+        patch_size=32,
+        hidden_size=768,
+        num_heads=12,
+        num_layers=12,
+    ),
+}
+
+
+def named_configs() -> List[str]:
+    return sorted(NAMED_CONFIGS.keys())
+
+
+def build_config(*names: str, **overrides: Any) -> RMCLConfig:
+    """Compose named presets left-to-right, then apply keyword overrides.
+
+    Mirrors Sacred's `with name1 name2 key=value` composition order
+    (reference run.py / vilt/config.py:437).
+    """
+    merged: Dict[str, Any] = {}
+    for name in names:
+        if name not in NAMED_CONFIGS:
+            raise KeyError(
+                f"Unknown named config {name!r}; available: {named_configs()}"
+            )
+        merged.update(NAMED_CONFIGS[name])
+    merged.update(overrides)
+    # normalize container types
+    for k in ("datasets", "train_transform_keys", "val_transform_keys",
+              "type_txt_augm", "attack_idx", "image_bucket_hw",
+              "mesh_shape", "mesh_axis_names"):
+        if k in merged and isinstance(merged[k], list):
+            merged[k] = tuple(merged[k])
+    return RMCLConfig(**merged)
+
+
+def active_tasks(cfg: RMCLConfig) -> List[str]:
+    """Tasks with loss weight >= 1 (reference vilt_utils.py:325-329)."""
+    return [k for k, v in cfg.loss_names.items() if v >= 1]

@@ -1,0 +1,295 @@
+"""TPU-native ViT backbone for single-stream ViLT.
+
+Re-designs reference vilt/modules/vision_transformer.py for XLA static
+shapes:
+
+* patchify = reshape + one big matmul (MXU) instead of conv2d
+  (reference PatchEmbed, vision_transformer.py:378-408 — stride==kernel
+  conv is exactly a patch matmul).
+* per-sample bilinear pos-embed interpolation (reference :570-586, a
+  Python loop of F.interpolate calls with data-dependent (h, w)) becomes
+  a batched einsum with per-sample bilinear weight matrices of *static*
+  shape — same align_corners=True math, no dynamic shapes, fully vmapped.
+* valid-patch mask (reference :564-567 nearest-interpolated zero-mask)
+  becomes a strided top-left-pixel sample — identical semantics for
+  top-left-anchored zero padding.
+* variable-length patch selection (reference :605-651: multinomial
+  subsample / random pad-fill) becomes a deterministic stable sort by
+  validity: valid patches first in row-major order, truncated/padded to a
+  static length.  Pad slots carry mask=0 so they are invisible to
+  attention and losses; numerics can differ from the reference's random
+  choice only when an image has more valid patches than max_image_len
+  (the reference itself is nondeterministic there, cf. EVAL.md:2).
+* 12 transformer blocks run under lax.scan over stacked per-layer params;
+  attention uses the fused Pallas kernel on TPU.
+
+LayerNorm eps inside the ViT is 1e-6 (reference :466 norm_layer).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rmcl_tpu.models import layers as L
+from rmcl_tpu.ops.attention import masked_attention
+
+VIT_LN_EPS = 1e-6
+
+
+class ViTSpec(NamedTuple):
+    hidden_size: int = 768
+    num_heads: int = 12
+    num_layers: int = 12
+    mlp_ratio: int = 4
+    patch_size: int = 32
+    img_size: int = 384           # pretraining grid the pos-embed lives on
+    drop_rate: float = 0.1
+    use_pallas: bool = True
+    remat: bool = False
+
+    @property
+    def patch_dim(self) -> int:
+        return self.img_size // self.patch_size
+
+    @property
+    def head_dim(self) -> int:
+        return self.hidden_size // self.num_heads
+
+
+# ------------------------------------------------------------------ init
+def init_block(key, spec: ViTSpec) -> Dict[str, Any]:
+    ks = jax.random.split(key, 4)
+    C = spec.hidden_size
+    return {
+        "norm1": L.layer_norm_init(C),
+        "attn": {
+            "qkv": L.linear_init(ks[0], C, 3 * C),
+            "proj": L.linear_init(ks[1], C, C),
+        },
+        "norm2": L.layer_norm_init(C),
+        "mlp": {
+            "fc1": L.linear_init(ks[2], C, C * spec.mlp_ratio),
+            "fc2": L.linear_init(ks[3], C * spec.mlp_ratio, C),
+        },
+    }
+
+
+def init_vit(key, spec: ViTSpec) -> Dict[str, Any]:
+    C, P = spec.hidden_size, spec.patch_size
+    n_pos = spec.patch_dim * spec.patch_dim + 1
+    k_patch, k_pos, k_cls, *k_blocks = jax.random.split(key, 3 + spec.num_layers)
+    blocks = [init_block(k, spec) for k in k_blocks]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return {
+        "patch_embed": {
+            # stored as (P*P*3, C) ready for the patchify matmul;
+            # flat index order is (ph, pw, channel)
+            "proj": {"kernel": L.trunc_normal(k_patch, (P * P * 3, C)),
+                     "bias": jnp.zeros((C,), jnp.float32)},
+        },
+        "cls_token": L.trunc_normal(k_cls, (1, 1, C)),
+        "pos_embed": L.trunc_normal(k_pos, (1, n_pos, C)),
+        "mask_token": jnp.zeros((C,), jnp.float32),
+        "blocks": stacked,
+        "norm": L.layer_norm_init(C),
+    }
+
+
+# ------------------------------------------------------------- patchify
+def patchify(params, img, dtype=jnp.bfloat16):
+    """img: (B, H, W, 3) -> (B, gh*gw, C).  One MXU matmul."""
+    B, H, W, _ = img.shape
+    P = int(round((params["proj"]["kernel"].shape[0] / 3) ** 0.5))
+    gh, gw = H // P, W // P
+    x = img.reshape(B, gh, P, gw, P, 3)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
+    x = x.astype(dtype) @ params["proj"]["kernel"].astype(dtype)
+    return x + params["proj"]["bias"].astype(dtype)
+
+
+# ----------------------------------------------- pos-embed interpolation
+def _bilinear_weights(n_out: int, size, n_src: int):
+    """(n_out, n_src) align_corners=True bilinear row-weight matrix for a
+    traced valid length `size`; rows >= size are zero (pad region)."""
+    r = jnp.arange(n_out, dtype=jnp.float32)
+    denom = jnp.maximum(size - 1, 1).astype(jnp.float32)
+    src = r * (n_src - 1) / denom
+    i0 = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_src - 1)
+    i1 = jnp.minimum(i0 + 1, n_src - 1)
+    t = src - i0.astype(jnp.float32)
+    cols = jnp.arange(n_src)
+    w = (
+        (cols[None, :] == i0[:, None]) * (1.0 - t[:, None])
+        + (cols[None, :] == i1[:, None]) * t[:, None]
+    )
+    return w * (r[:, None] < size)
+
+
+def resample_pos_embed(spatial_pos, h, w, gh: int, gw: int):
+    """spatial_pos: (S, S, C); h, w traced per-sample valid grid dims.
+    Returns (gh, gw, C): bilinear to (h, w), zero-padded to (gh, gw) —
+    the static-shape equivalent of reference vision_transformer.py:570-586.
+    """
+    S = spatial_pos.shape[0]
+    R = _bilinear_weights(gh, h, S)       # (gh, S)
+    Cw = _bilinear_weights(gw, w, S)      # (gw, S)
+    return jnp.einsum("rs,stc,wt->rwc", R, spatial_pos.astype(jnp.float32), Cw)
+
+
+# ------------------------------------------------------------ mask_tokens
+def mask_tokens(rng, img, feats, mask_token, patch_size: int,
+                mask_prob: float = 0.15, replace_prob: float = 0.8):
+    """MPP masking (reference vision_transformer.py:525-557).
+
+    Labels = per-patch mean RGB of the unnormalised image, 256-binned per
+    channel; non-masked positions -100; 80% of masked patches get the
+    learned mask token.
+    """
+    B, H, W, _ = img.shape
+    P = patch_size
+    gh, gw = H // P, W // P
+    img_unnorm = img * 0.5 + 0.5
+    pm = img_unnorm.reshape(B, gh, P, gw, P, 3).mean(axis=(2, 4))
+    labels = jnp.clip((pm * 255).astype(jnp.int32), 0, 255).reshape(B, gh * gw, 3)
+
+    k1, k2 = jax.random.split(rng)
+    masked = jax.random.bernoulli(k1, mask_prob, labels.shape[:-1])
+    labels = jnp.where(masked[..., None], labels, -100)
+    replaced = jnp.logical_and(
+        jax.random.bernoulli(k2, replace_prob, labels.shape[:-1]), masked)
+    feats = jnp.where(replaced[..., None], mask_token.astype(feats.dtype), feats)
+    return feats, labels
+
+
+# ------------------------------------------------------------ visual embed
+def visual_embed(params, img, *, spec: ViTSpec, max_image_len: int = -1,
+                 mask_it: bool = False, rng=None, deterministic: bool = True,
+                 dtype=jnp.bfloat16):
+    """img: (B, H, W, 3) zero-padded top-left.  Static output shapes.
+
+    Returns (x (B, L+1, C), x_mask (B, L+1) int32,
+             (patch_index (B, L, 2), (gh, gw)), labels or None).
+    """
+    B, H, W, _ = img.shape
+    P = spec.patch_size
+    gh, gw = H // P, W // P
+    N = gh * gw
+
+    x = patchify(params["patch_embed"], img, dtype=dtype)       # (B, N, C)
+
+    pix_valid = jnp.sum(img, axis=-1) != 0                      # (B, H, W)
+    m = pix_valid[:, ::P, ::P]                                  # (B, gh, gw)
+    x_h = m[:, :, 0].sum(axis=1)                                # (B,)
+    x_w = m[:, 0, :].sum(axis=1)
+
+    spatial = params["pos_embed"][0, 1:, :].reshape(
+        spec.patch_dim, spec.patch_dim, spec.hidden_size)
+    pos = jax.vmap(lambda h, w: resample_pos_embed(spatial, h, w, gh, gw))(
+        x_h, x_w)                                               # (B, gh, gw, C)
+    pos = pos.reshape(B, N, spec.hidden_size)
+
+    mask_flat = m.reshape(B, N)
+    pidx = jnp.stack(
+        jnp.meshgrid(jnp.arange(gh), jnp.arange(gw), indexing="ij"),
+        axis=-1).reshape(N, 2)
+    patch_index = jnp.broadcast_to(pidx[None], (B, N, 2))
+
+    labels = None
+    if mask_it:
+        x, labels = mask_tokens(rng, img, x, params["mask_token"], P)
+
+    Lsel = N if (max_image_len is None or max_image_len <= 0) else min(N, max_image_len)
+    if Lsel < N:
+        # deterministic replacement for reference multinomial select
+        order = jnp.argsort(jnp.where(mask_flat, 0, 1), axis=1, stable=True)
+        sel = order[:, :Lsel]
+        x = jnp.take_along_axis(x, sel[..., None], axis=1)
+        mask_flat = jnp.take_along_axis(mask_flat, sel, axis=1)
+        pos = jnp.take_along_axis(pos, sel[..., None], axis=1)
+        patch_index = jnp.take_along_axis(patch_index, sel[..., None], axis=1)
+        if labels is not None:
+            labels = jnp.take_along_axis(labels, sel[..., None], axis=1)
+
+    if labels is not None:
+        labels = jnp.where(mask_flat[..., None], labels, -100)
+        labels = jnp.concatenate(
+            [jnp.full((B, 1, 3), -100, labels.dtype), labels], axis=1)
+
+    cls = jnp.broadcast_to(params["cls_token"].astype(dtype),
+                           (B, 1, spec.hidden_size))
+    x = jnp.concatenate([cls, x], axis=1)
+    pos_full = jnp.concatenate(
+        [jnp.broadcast_to(params["pos_embed"][:, :1, :], (B, 1, spec.hidden_size)),
+         pos], axis=1)
+    x = x + pos_full.astype(dtype)
+    if not deterministic and rng is not None:
+        rng, sub = jax.random.split(rng)
+        x = L.dropout(x, spec.drop_rate, sub, deterministic)
+
+    x_mask = jnp.concatenate(
+        [jnp.ones((B, 1), jnp.int32), mask_flat.astype(jnp.int32)], axis=1)
+
+    return x, x_mask, (patch_index, (gh, gw)), labels
+
+
+# ---------------------------------------------------------------- blocks
+def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
+                  deterministic: bool = True):
+    """Pre-norm transformer block (reference vision_transformer.py:335-376)."""
+    B, S, C = x.shape
+    Hh, D = spec.num_heads, spec.head_dim
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    y = L.layer_norm(bp["norm1"], x, eps=VIT_LN_EPS)
+    qkv = L.linear(bp["attn"]["qkv"], y).reshape(B, S, 3, Hh, D)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    attn = masked_attention(q, k, v, mask, D ** -0.5,
+                            use_pallas=spec.use_pallas)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
+    attn = L.linear(bp["attn"]["proj"], attn)
+    attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic)
+    x = x + attn
+
+    y = L.layer_norm(bp["norm2"], x, eps=VIT_LN_EPS)
+    y = L.gelu(L.linear(bp["mlp"]["fc1"], y))
+    y = L.dropout(y, spec.drop_rate, rngs[1], deterministic)
+    y = L.linear(bp["mlp"]["fc2"], y)
+    y = L.dropout(y, spec.drop_rate, rngs[2], deterministic)
+    return x + y
+
+
+def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
+                      deterministic: bool = True):
+    """Run all blocks via lax.scan over stacked params, then final norm."""
+    layer_rngs = (jax.random.split(rng, spec.num_layers)
+                  if rng is not None else None)
+
+    def body(carry, inp):
+        bp, lrng = inp
+        out = block_forward(bp, carry, mask, spec=spec, rng=lrng,
+                            deterministic=deterministic)
+        return out, None
+
+    if spec.remat:
+        body = jax.checkpoint(body)
+
+    xs = (params["blocks"], layer_rngs) if layer_rngs is not None else (
+        params["blocks"], None)
+    if layer_rngs is None:
+        def body_norng(carry, bp):
+            out = block_forward(bp, carry, mask, spec=spec, rng=None,
+                                deterministic=deterministic)
+            return out, None
+        if spec.remat:
+            body_norng = jax.checkpoint(body_norng)
+        x, _ = jax.lax.scan(body_norng, x, params["blocks"])
+    else:
+        x, _ = jax.lax.scan(body, x, xs)
+
+    return L.layer_norm(params["norm"], x, eps=VIT_LN_EPS)

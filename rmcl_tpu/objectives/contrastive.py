@@ -1,0 +1,315 @@
+"""Robust contrastive frameworks: MoCo-style InfoNCE + Barlow-Twins.
+
+Behavioural spec: reference vilt/modules/objectives.py
+compute_moco_contrastive:217-447 and compute_barlowtwins_contrastive:449-602.
+
+TPU-native redesign:
+  * momentum (EMA) update of the key twins = one jax.tree.map — no Python
+    parameter loop (reference :219-224).
+  * queue enqueue: under pjit's global view the key batch is already a
+    global array, so the reference's torch.distributed.all_gather
+    (:226-235) disappears — a lax.dynamic_update_slice circular write into
+    the replicated queue is all that remains; XLA inserts the collective.
+  * Barlow-Twins cross-correlation: computed straight from the *global*
+    batch (q.T @ k / per_step_bs) — identical to the reference's per-rank
+    matmul + all_reduce (:476-478).
+  * the per-sample Python diagnostic loops (:303-312) become batched
+    einsums.
+
+The greedy text attack mutates token ids on host, so attacked text ids
+enter this module as plain batch inputs; PGD runs fully on-device via
+rmcl_tpu.attacks.pgd inside the same jit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+
+from rmcl_tpu.models.heads import barlowtwins_head, moco_head
+from rmcl_tpu.objectives.losses import (
+    cosine_similarity, cross_entropy, l2_normalize)
+
+MOMENTUM_TWINS = ("text_embeddings", "token_type_embeddings",
+                  "transformer", "moco_head")
+
+
+# ----------------------------------------------------------- EMA update
+def momentum_update(params: Dict[str, Any], m: float) -> Dict[str, Any]:
+    """k = m*k + (1-m)*q for the four twin module groups
+    (reference objectives.py:256-260)."""
+    out = dict(params)
+    for name in MOMENTUM_TWINS:
+        k_name = "k_" + name
+        if k_name in params:
+            out[k_name] = jax.tree.map(
+                lambda kp, qp: kp * m + qp * (1.0 - m),
+                params[k_name], params[name])
+    return out
+
+
+# ---------------------------------------------------------- queue update
+def dequeue_and_enqueue(state: Dict[str, Any], keys, per_step_bs: int):
+    """Circular write of the (global) key batch into the negatives queue
+    (reference objectives.py:238-248).  Assumes num_negative % batch == 0,
+    as the reference does; partial batches are skipped by the static
+    `keys.shape[0] == per_step_bs` guard."""
+    B = keys.shape[0]
+    if B != per_step_bs:
+        return state  # reference :242-243 skip rule (static under jit)
+    queue, ptr = state["proj_queue"], state["proj_queue_ptr"]
+    K = queue.shape[1]
+    new_queue = jax.lax.dynamic_update_slice(
+        queue, keys.T.astype(queue.dtype), (0, ptr))
+    new_ptr = jnp.mod(ptr + B, K).astype(ptr.dtype)
+    return dict(state, proj_queue=new_queue, proj_queue_ptr=new_ptr)
+
+
+# -------------------------------------------------------------- InfoNCE
+def infonce(q, k, neg_queue, temperature: float):
+    """logits = [q.k | q.queue] / tau, labels = 0
+    (reference objectives.py:271-274).  Returns (loss, logits)."""
+    l_pos = jnp.einsum("nc,nc->n", q.astype(jnp.float32),
+                       k.astype(jnp.float32))[:, None]
+    l_neg = jnp.einsum("nc,ck->nk", q.astype(jnp.float32),
+                       neg_queue.astype(jnp.float32))
+    logits = jnp.concatenate([l_pos, l_neg], axis=1) / temperature
+    labels = jnp.zeros((logits.shape[0],), jnp.int32)
+    return cross_entropy(logits, labels), logits
+
+
+def _view_diagnostics(q, k, neg_queue, suffix: str) -> Dict[str, Any]:
+    """Pos/neg L2-cosine-dot panels (reference objectives.py:300-312),
+    batched instead of per-sample loops."""
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    negT = neg_queue.T.astype(jnp.float32)              # (K, C)
+    ret = {
+        f"pos_dist_attacked_{suffix}": jnp.mean(
+            jnp.linalg.norm(q32 - k32, axis=1)),
+        f"pos_cosine_attacked_{suffix}": jnp.mean(cosine_similarity(q32, k32)),
+        f"pos_dot_attacked_{suffix}": jnp.mean(jnp.sum(q32 * k32, axis=1)),
+    }
+    # for each sample: mean over queue of distances, then mean over batch
+    d2 = (jnp.sum(q32 ** 2, axis=1)[:, None]
+          - 2 * q32 @ negT.T + jnp.sum(negT ** 2, axis=1)[None, :])
+    ret[f"neg_dist_attacked_{suffix}"] = jnp.mean(
+        jnp.sqrt(jnp.maximum(d2, 0)))
+    qn = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-6)
+    nn_ = negT / jnp.maximum(jnp.linalg.norm(negT, axis=1, keepdims=True), 1e-6)
+    ret[f"neg_cosine_attacked_{suffix}"] = jnp.mean(qn @ nn_.T)
+    ret[f"neg_dot_attacked_{suffix}"] = jnp.mean(q32 @ negT.T)
+    return ret
+
+
+# ------------------------------------------------------------- MoCo main
+def compute_moco_contrastive(
+    model, params, state, batch, *,
+    rng,
+    train: bool = True,
+    text_view: bool = False,
+    image_view: bool = False,
+    attacked_text: Optional[Dict[str, Any]] = None,
+    pgd_fn=None,
+    temperature: float = 0.07,
+    momentum: float = 0.999,
+    per_step_bs: int = 0,
+):
+    """One MoCo step (reference objectives.py:217-447), jittable.
+
+    `attacked_text`: {"text_ids", "text_masks"} produced on host by the
+    greedy attack (or augmentation); None disables the text view even if
+    text_view=True was configured.
+    `pgd_fn(params, batch, k, queue) -> img_delta` runs the on-device PGD
+    attack (rmcl_tpu.attacks.pgd).
+    Returns (ret_dict, new_params, new_state).
+    """
+    ret: Dict[str, Any] = {}
+    new_params = momentum_update(params, momentum) if train else params
+
+    rngs = jax.random.split(rng, 6)
+
+    # ---- key (momentum) forward, no grad ----
+    infer_k = model.infer_k(new_params, batch, deterministic=True)
+    k_proj = moco_head(new_params["k_moco_head"], infer_k["cls_feats"])
+    k = jax.lax.stop_gradient(l2_normalize(k_proj, axis=1))
+
+    neg_queue = jax.lax.stop_gradient(state["proj_queue"])
+
+    # ---- clean query ----
+    infer_q = model.infer(new_params, batch, rng=rngs[0],
+                          deterministic=not train)
+    q_orig = l2_normalize(moco_head(new_params["moco_head"],
+                                    infer_q["cls_feats"]), axis=1)
+    _, logits0 = infonce(q_orig, k, neg_queue, temperature)
+    pred_orig = jnp.argmax(logits0, axis=-1)
+
+    loss = 0.0
+    loss_num = 0
+
+    attacked_img_batch = None
+    if image_view and pgd_fn is not None:
+        img_delta = pgd_fn(new_params, batch, k, neg_queue)
+        attacked_img_batch = dict(batch, image=batch["image"] + img_delta)
+        ret["pgd_delta"] = jnp.mean(
+            jnp.linalg.norm(img_delta.astype(jnp.float32), axis=-1))
+
+    if text_view and attacked_text is not None:
+        tbatch = dict(batch, text_ids=attacked_text["text_ids"],
+                      text_masks=attacked_text["text_masks"])
+        infer_t = model.infer(new_params, tbatch, rng=rngs[1],
+                              deterministic=not train)
+        q_txt = l2_normalize(moco_head(new_params["moco_head"],
+                                       infer_t["cls_feats"]), axis=1)
+        l_txt, logits_t = infonce(q_txt, k, neg_queue, temperature)
+        ret["geom_success_rate"] = jnp.mean(
+            (jnp.argmax(logits_t, -1) != pred_orig).astype(jnp.float32))
+        ret.update(_view_diagnostics(q_txt, k, neg_queue, "txt"))
+        ret["attacked_txt_loss"] = l_txt
+        loss = loss + l_txt
+        loss_num += 1
+
+    if image_view and attacked_img_batch is not None:
+        infer_i = model.infer(new_params, attacked_img_batch, rng=rngs[2],
+                              deterministic=not train)
+        q_img = l2_normalize(moco_head(new_params["moco_head"],
+                                       infer_i["cls_feats"]), axis=1)
+        l_img, logits_i = infonce(q_img, k, neg_queue, temperature)
+        ret["pgd_success_rate"] = jnp.mean(
+            (jnp.argmax(logits_i, -1) != pred_orig).astype(jnp.float32))
+        ret.update(_view_diagnostics(q_img, k, neg_queue, "img"))
+        ret["attacked_img_loss"] = l_img
+        loss = loss + l_img
+        loss_num += 1
+
+    if text_view and image_view and attacked_text is not None \
+            and attacked_img_batch is not None:
+        bbatch = dict(attacked_img_batch,
+                      text_ids=attacked_text["text_ids"],
+                      text_masks=attacked_text["text_masks"])
+        infer_b = model.infer(new_params, bbatch, rng=rngs[3],
+                              deterministic=not train)
+        q_both = l2_normalize(moco_head(new_params["moco_head"],
+                                        infer_b["cls_feats"]), axis=1)
+        l_both, logits_b = infonce(q_both, k, neg_queue, temperature)
+        ret["both_success_rate"] = jnp.mean(
+            (jnp.argmax(logits_b, -1) != pred_orig).astype(jnp.float32))
+        ret.update(_view_diagnostics(q_both, k, neg_queue, "both"))
+        ret["attacked_both_loss"] = l_both
+        loss = loss + l_both
+        loss_num += 1
+
+    new_state = dict(state)
+    if train:
+        new_state = dequeue_and_enqueue(new_state, k, per_step_bs or k.shape[0])
+
+    ret["moco_loss"] = loss / max(loss_num, 1)
+    return ret, new_params, new_state
+
+
+# ---------------------------------------------------------- Barlow-Twins
+def _off_diagonal_sumsq(c):
+    n = c.shape[0]
+    mask = 1.0 - jnp.eye(n, dtype=c.dtype)
+    return jnp.sum((c * mask) ** 2)
+
+
+def bt_correlation_loss(q, k, per_step_bs: int, lam: float):
+    """on-diag (1-c_ii)^2 + lam * off-diag c_ij^2 where
+    c = q.T @ k / per_step_bs (reference objectives.py:476-482).
+    Under the global view this already includes the cross-replica sum."""
+    c = (q.astype(jnp.float32).T @ k.astype(jnp.float32)) / per_step_bs
+    on_diag = jnp.sum((jnp.diagonal(c) - 1.0) ** 2)
+    off_diag = _off_diagonal_sumsq(c)
+    return on_diag + lam * off_diag, on_diag, lam * off_diag
+
+
+def compute_barlowtwins_contrastive(
+    model, params, state, batch, *,
+    rng,
+    train: bool = True,
+    text_view: bool = False,
+    image_view: bool = False,
+    attacked_text: Optional[Dict[str, Any]] = None,
+    pgd_fn=None,
+    adv_lr: float = 0.0051,
+    per_step_bs: int = 0,
+):
+    """Barlow-Twins step (reference objectives.py:449-602), jittable.
+    Returns (ret_dict, params, new_state)."""
+    ret: Dict[str, Any] = {}
+    rngs = jax.random.split(rng, 4)
+    B = batch["text_ids"].shape[0]
+    psb = per_step_bs or B
+
+    infer0 = model.infer(params, batch, deterministic=True)
+    k, bn_stats = barlowtwins_head(params["barlowtwins_head"],
+                                   infer0["cls_feats"], training=train)
+    k = jax.lax.stop_gradient(k)
+
+    loss = 0.0
+    loss_num = 0
+
+    attacked_img_batch = None
+    if image_view and pgd_fn is not None:
+        img_delta = pgd_fn(params, batch, k, None)
+        attacked_img_batch = dict(batch, image=batch["image"] + img_delta)
+
+    if text_view and attacked_text is not None:
+        tbatch = dict(batch, text_ids=attacked_text["text_ids"],
+                      text_masks=attacked_text["text_masks"])
+        infer_t = model.infer(params, tbatch, rng=rngs[0],
+                              deterministic=not train)
+        q_text, bn_stats = barlowtwins_head(params["barlowtwins_head"],
+                                            infer_t["cls_feats"],
+                                            training=train)
+        l, on, off = bt_correlation_loss(q_text, k, psb, adv_lr)
+        loss, loss_num = loss + l, loss_num + 1
+        ret["barlowtwins_loss_invariance_text"] = on
+        ret["barlowtwins_loss_redundancy_text"] = off
+        ret["pos_dist_attacked_txt"] = jnp.mean(
+            jnp.linalg.norm(q_text.astype(jnp.float32) - k, axis=1))
+        ret["pos_cosine_attacked_txt"] = jnp.mean(cosine_similarity(q_text, k))
+        ret["pos_dot_attacked_txt"] = jnp.mean(jnp.sum(q_text * k, axis=1))
+
+    if image_view and attacked_img_batch is not None:
+        infer_i = model.infer(params, attacked_img_batch, rng=rngs[1],
+                              deterministic=not train)
+        q_img, bn_stats = barlowtwins_head(params["barlowtwins_head"],
+                                           infer_i["cls_feats"],
+                                           training=train)
+        l, on, off = bt_correlation_loss(q_img, k, psb, adv_lr)
+        loss, loss_num = loss + l, loss_num + 1
+        ret["barlowtwins_loss_invariance_img"] = on
+        ret["barlowtwins_loss_redundancy_img"] = off
+        ret["pos_dist_attacked_img"] = jnp.mean(
+            jnp.linalg.norm(q_img.astype(jnp.float32) - k, axis=1))
+        ret["pos_cosine_attacked_img"] = jnp.mean(cosine_similarity(q_img, k))
+        ret["pos_dot_attacked_img"] = jnp.mean(jnp.sum(q_img * k, axis=1))
+
+    if text_view and image_view and attacked_text is not None \
+            and attacked_img_batch is not None:
+        bbatch = dict(attacked_img_batch,
+                      text_ids=attacked_text["text_ids"],
+                      text_masks=attacked_text["text_masks"])
+        infer_b = model.infer(params, bbatch, rng=rngs[2],
+                              deterministic=not train)
+        q_both, bn_stats = barlowtwins_head(params["barlowtwins_head"],
+                                            infer_b["cls_feats"],
+                                            training=train)
+        l, on, off = bt_correlation_loss(q_both, k, psb, adv_lr)
+        loss, loss_num = loss + l, loss_num + 1
+        ret["barlowtwins_loss_invariance_both"] = on
+        ret["barlowtwins_loss_redundancy_both"] = off
+        ret["pos_dist_attacked_both"] = jnp.mean(
+            jnp.linalg.norm(q_both.astype(jnp.float32) - k, axis=1))
+        ret["pos_cosine_attacked_both"] = jnp.mean(cosine_similarity(q_both, k))
+        ret["pos_dot_attacked_both"] = jnp.mean(jnp.sum(q_both * k, axis=1))
+
+    ret["barlowtwins_loss"] = loss / max(loss_num, 1)
+
+    new_state = dict(state)
+    if train:
+        new_state["bt_bn_stats"] = bn_stats
+    return ret, params, new_state

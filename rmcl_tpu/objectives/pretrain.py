@@ -1,0 +1,109 @@
+"""Pretraining objectives: MLM, MPP, ITM + word-patch alignment.
+
+Behavioural specs: reference vilt/modules/objectives.py
+compute_mlm:604-630, compute_mpp:632-665, compute_itm_wpa:714-787.
+All are pure jittable functions; the train step sums every `*_loss` key
+(reference vilt_module.py:472-477).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from rmcl_tpu.objectives.losses import cross_entropy
+from rmcl_tpu.objectives.ot import cost_matrix_cosine, ipot, trace_bmm
+
+
+def compute_mlm(model, params, batch, *, rng=None, train: bool = False):
+    infer = model.infer(params, batch, mask_text=True, mask_image=False,
+                        rng=rng, deterministic=not train)
+    logits = model_mlm_logits(model, params, infer)
+    labels = infer["text_labels"]
+    loss = cross_entropy(logits.reshape(-1, logits.shape[-1]),
+                         labels.reshape(-1))
+    return {
+        "mlm_loss": loss,
+        "mlm_logits": logits,
+        "mlm_labels": labels,
+        "mlm_ids": infer["text_ids"],
+    }
+
+
+def model_mlm_logits(model, params, infer):
+    from rmcl_tpu.models.heads import mlm_head
+    return mlm_head(params["mlm_score"], infer["text_feats"])
+
+
+def compute_mpp(model, params, batch, *, rng, train: bool = False):
+    from rmcl_tpu.models.heads import mpp_head
+
+    infer = model.infer(params, batch, mask_text=False, mask_image=True,
+                        rng=rng, deterministic=not train)
+    logits = mpp_head(params["mpp_score"], infer["image_feats"])
+    B, S, _ = logits.shape
+    logits = logits.reshape(B, S, 3, 256)       # stack of 3x256 RGB bins
+    labels = infer["image_labels"]              # (B, S, 3)
+    loss = cross_entropy(logits.reshape(-1, 256), labels.reshape(-1))
+    return {
+        "mpp_loss": loss,
+        "mpp_logits": logits,
+        "mpp_labels": labels,
+    }
+
+
+def compute_itm_wpa(model, params, batch, *, rng, train: bool = False,
+                    ot_iterations: int = 50):
+    """ITM with shuffled negatives + 0.1 * IPOT OT alignment loss."""
+    from rmcl_tpu.models.heads import itm_head
+
+    rng, k_perm, k_infer = jax.random.split(rng, 3)
+    B = batch["text_ids"].shape[0]
+    pos_len = B // 2
+    base = jnp.concatenate([jnp.ones((pos_len,), jnp.int32),
+                            jnp.zeros((B - pos_len,), jnp.int32)])
+    itm_labels = jax.random.permutation(k_perm, base)
+
+    img = jnp.where(itm_labels[:, None, None, None] == 1,
+                    batch["image"], batch["false_image_0"])
+    mixed = dict(batch)
+    mixed["image"] = img
+
+    infer = model.infer(params, mixed, rng=k_infer, deterministic=not train)
+
+    # ---- OT alignment (fp32, no grad through the plan) ----
+    txt_emb, img_emb = infer["text_feats"], infer["image_feats"]
+    txt_mask = infer["text_masks"].astype(bool)
+    img_mask = infer["image_masks"].astype(bool)
+    # drop CLS and final SEP from text, CLS from image
+    # (reference objectives.py:740-746)
+    lens = txt_mask.sum(axis=1)
+    pos = jnp.arange(txt_mask.shape[1])[None, :]
+    txt_mask = txt_mask & (pos != (lens - 1)[:, None]) & (pos != 0)
+    img_mask = img_mask.at[:, 0].set(False)
+    txt_pad, img_pad = ~txt_mask, ~img_mask
+
+    cost = cost_matrix_cosine(txt_emb.astype(jnp.float32),
+                              img_emb.astype(jnp.float32))
+    joint_pad = txt_pad[:, :, None] | img_pad[:, None, :]
+    cost = jnp.where(joint_pad, 0.0, cost)
+    txt_len = (txt_pad.shape[1] - txt_pad.sum(axis=1)).astype(jnp.float32)
+    img_len = (img_pad.shape[1] - img_pad.sum(axis=1)).astype(jnp.float32)
+    T = ipot(jax.lax.stop_gradient(cost), txt_len, txt_pad, img_len, img_pad,
+             joint_pad, 0.5, ot_iterations, 1)
+    distance = trace_bmm(cost, jax.lax.stop_gradient(T))
+
+    pos_mask = itm_labels == 1
+    n = distance.shape[0]
+    ot_loss = (jnp.sum(jnp.where(pos_mask, distance, 0.0))
+               - jnp.sum(jnp.where(pos_mask, 0.0, distance))) / n
+
+    logits = itm_head(params["itm_score"], infer["cls_feats"])
+    itm_loss = cross_entropy(logits, itm_labels)
+
+    return {
+        "itm_loss": itm_loss,
+        "itm_wpa_loss": 0.1 * ot_loss,
+        "itm_logits": logits,
+        "itm_labels": itm_labels,
+    }

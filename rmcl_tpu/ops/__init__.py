@@ -1,0 +1,1 @@
+from rmcl_tpu.ops.attention import masked_attention  # noqa: F401
