@@ -24,10 +24,17 @@ def init_text_embeddings(key, vocab_size: int, hidden_size: int,
 
 def text_embeddings(params, input_ids, *, drop_rate: float = 0.0,
                     rng=None, deterministic: bool = True,
-                    dtype=jnp.float32):
-    """input_ids: (B, T) int32 -> (B, T, H)."""
+                    dtype=jnp.float32, word_embeds=None):
+    """input_ids: (B, T) int32 -> (B, T, H).
+
+    `word_embeds` overrides the word-embedding lookup with explicit
+    vectors — the differentiation point for the greedy attack's
+    token-saliency gradients (replaces the reference's backward hook on
+    word_embeddings, greedy_attack_vilt.py:414-424).
+    """
     T = input_ids.shape[-1]
-    x = L.embedding(params["word_embeddings"], input_ids)
+    x = (word_embeds if word_embeds is not None
+         else L.embedding(params["word_embeddings"], input_ids))
     pos = params["position_embeddings"]["weight"][:T]
     tok = params["token_type_embeddings"]["weight"][0]
     x = x + pos[None, :, :] + tok[None, None, :]

@@ -112,7 +112,8 @@ def infer(params, batch, *, cfg: RMCLConfig, spec: Optional[ViTSpec] = None,
           mask_text: bool = False, mask_image: bool = False,
           image_token_type_idx: int = 1,
           image_embeds=None, image_masks=None,
-          rng=None, deterministic: bool = True, prefix: str = ""):
+          rng=None, deterministic: bool = True, prefix: str = "",
+          word_embeds=None):
     """Single-stream forward (reference vilt_module.py:275-351).
 
     `prefix="k_"` routes through the momentum twins — same compiled graph
@@ -139,7 +140,7 @@ def infer(params, batch, *, cfg: RMCLConfig, spec: Optional[ViTSpec] = None,
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
     text_embeds = text_embeddings(
         te, text_ids, drop_rate=cfg.drop_rate, rng=rngs[0],
-        deterministic=deterministic, dtype=dtype)
+        deterministic=deterministic, dtype=dtype, word_embeds=word_embeds)
 
     if image_embeds is None and image_masks is None:
         img = batch[imgkey]

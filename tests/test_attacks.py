@@ -1,0 +1,162 @@
+"""Attack tests: PGD Linf bounds + loss ascent; greedy substitution E2E."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmcl_tpu.attacks.greedy import (
+    GreedyAttackMoco, SynonymTable, check_word)
+from rmcl_tpu.attacks.pgd import make_pgd_moco, make_pgd_nlvr2
+from rmcl_tpu.core.config import build_config, loss_names
+from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
+from rmcl_tpu.models.heads import moco_head
+from rmcl_tpu.models.vilt import ViLTModel
+from rmcl_tpu.objectives.contrastive import infonce
+from rmcl_tpu.objectives.losses import l2_normalize
+from tests.conftest import make_fake_batch
+
+WORDS = ["dog", "cat", "puppy", "kitten", "car", "auto", "red",
+         "crimson", "blue", "big", "large", "small", "tiny", "runs",
+         "sprints", "sits", "park", "garden", "street", "road",
+         "in", "the", "a", "on"]
+# synonym pairs share a direction in the fake embedding space
+SYN_GROUPS = [["dog", "puppy"], ["cat", "kitten"], ["car", "auto"],
+              ["red", "crimson"], ["big", "large"], ["small", "tiny"],
+              ["runs", "sprints"], ["park", "garden"], ["street", "road"]]
+
+
+@pytest.fixture(scope="module")
+def moco_setup():
+    cfg = build_config(
+        hidden_size=32, num_heads=2, num_layers=2, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=None, loss_names=loss_names({"moco": 1}),
+        num_negative=16, temperature=0.07, n_candidates=3, max_loops=2,
+        use_pallas_attention=False, compute_dtype="float32", drop_rate=0.0)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def tiny_tok(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    make_tiny_vocab(str(p), WORDS)
+    return WordPieceTokenizer(str(p))
+
+
+@pytest.fixture(scope="module")
+def tiny_synonyms(tmp_path_factory):
+    p = tmp_path_factory.mktemp("emb") / "vectors.txt"
+    rng = np.random.RandomState(0)
+    vecs = {}
+    for gi, group in enumerate(SYN_GROUPS):
+        base = rng.randn(16)
+        for j, w in enumerate(group):
+            vecs[w] = base + 0.05 * rng.randn(16)
+    for w in WORDS:
+        if w not in vecs:
+            vecs[w] = rng.randn(16)
+    with open(p, "w") as f:
+        for w, v in vecs.items():
+            f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+    return SynonymTable(str(p), n_candidates=3, sim_thred=0.5)
+
+
+def test_check_word():
+    assert check_word("the")
+    assert check_word(",")
+    assert check_word("[CLS]")
+    assert not check_word("dog")
+
+
+def test_synonym_table(tiny_synonyms):
+    cands = tiny_synonyms.candidates("dog")
+    assert "puppy" in cands
+    assert "dog" not in cands or cands == ["dog"]
+    # unknown word maps to itself
+    assert tiny_synonyms.candidates("zebra") == ["zebra"]
+
+
+def _moco_model_and_batch(moco_setup, vocab_size):
+    cfg = moco_setup.replace(vocab_size=vocab_size)
+    model = ViLTModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    return cfg, model, params, state
+
+
+def test_pgd_moco_bounds_and_ascent(moco_setup):
+    cfg, model, params, state = _moco_model_and_batch(moco_setup, 64)
+    b = {k: jnp.asarray(v) for k, v in make_fake_batch(cfg).items()}
+
+    infer_k = model.infer_k(params, b, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+    queue = state["proj_queue"]
+
+    attack = make_pgd_moco(model, adv_steps=3, adv_lr=0.05,
+                           max_norm=0.005, temperature=cfg.temperature)
+    delta = jax.jit(attack)(params, b, k, queue)
+    d = np.array(delta)
+    assert d.shape == b["image"].shape
+    assert np.max(np.abs(d)) <= 0.005 + 1e-6
+    assert np.max(np.abs(d)) > 0  # attack actually moved
+
+    def loss_of(img):
+        infer = model.infer(params, dict(b, image=img), deterministic=True)
+        q = l2_normalize(moco_head(params["moco_head"], infer["cls_feats"]), 1)
+        return float(infonce(q, k, queue, cfg.temperature)[0])
+
+    assert loss_of(b["image"] + delta) > loss_of(b["image"])
+
+
+def test_pgd_nlvr2_gating(moco_setup):
+    cfg = moco_setup.replace(
+        vocab_size=64, loss_names=loss_names({"nlvr2": 1}))
+    model = ViLTModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    fb = make_fake_batch(cfg)
+    b = {
+        "text_ids": jnp.asarray(fb["text_ids"]),
+        "text_masks": jnp.asarray(fb["text_masks"]),
+        "text_labels": jnp.asarray(fb["text_labels"]),
+        "image_0": jnp.asarray(fb["image"]),
+        "image_1": jnp.asarray(make_fake_batch(cfg, seed=3)["image"]),
+    }
+    labels = jnp.asarray(np.array([0, 1], np.int32))
+    attack = make_pgd_nlvr2(model, adv_steps=2, adv_lr=0.05, max_norm=0.005,
+                            attack_idx=(False, True))
+    d0, d1 = jax.jit(attack)(params, b, labels)
+    assert np.all(np.array(d0) == 0)       # gated off
+    assert np.max(np.abs(np.array(d1))) > 0
+
+
+def test_greedy_attack_moco_end_to_end(moco_setup, tiny_tok, tiny_synonyms):
+    cfg, model, params, state = _moco_model_and_batch(
+        moco_setup, tiny_tok.vocab_size)
+    sentences = ["dog runs in park", "cat sits in street"]
+    ids, masks = tiny_tok.batch_encode(sentences, cfg.max_text_len)
+    fb = make_fake_batch(cfg)
+    batch = {
+        "image": fb["image"],
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+    }
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    infer_k = model.infer_k(params, dev, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+
+    attacker = GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms)
+    out = attacker.adv_attack_samples(
+        params, batch, (k, state["proj_queue"], cfg.temperature))
+
+    assert out["txt_input_ids"].shape == ids.shape
+    assert out["text_masks"].shape == masks.shape
+    assert len(out["text"]) == 2
+    assert out["num_changes"] >= 0
+    # substituted words must come from the word's synonym candidates
+    for orig, new in zip(sentences, out["text"]):
+        for ow, nw in zip(orig.split(), new.split()):
+            if ow != nw:
+                assert nw in tiny_synonyms.candidates(ow), (ow, nw)
