@@ -1,0 +1,93 @@
+"""CLI entry point (reference run.py + Sacred's `with` syntax).
+
+Usage mirrors the reference exactly:
+    rmcl with task_moco text_view=True image_view=True data_root=/data
+    rmcl with task_finetune_vqa_randaug test_only=True load_path=ckpt
+plus:
+    rmcl configs                 # list named configs
+    rmcl prepare nlvr2 --root R --out O   # arrow conversion (prepare_data.py)
+"""
+
+from __future__ import annotations
+
+import ast
+import sys
+from typing import Any, Dict, List, Tuple
+
+from rmcl_tpu.core.config import build_config, named_configs
+
+
+def parse_with(argv: List[str]) -> Tuple[List[str], Dict[str, Any]]:
+    names: List[str] = []
+    overrides: Dict[str, Any] = {}
+    for tok in argv:
+        if "=" in tok:
+            k, v = tok.split("=", 1)
+            try:
+                overrides[k] = ast.literal_eval(v)
+            except (ValueError, SyntaxError):
+                overrides[k] = v
+        else:
+            names.append(tok)
+    return names, overrides
+
+
+def main(argv: List[str] = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if not argv or argv[0] in ("-h", "--help"):
+        print(__doc__)
+        return 0
+
+    if argv[0] == "configs":
+        for n in named_configs():
+            print(n)
+        return 0
+
+    if argv[0] == "prepare":
+        from rmcl_tpu.data.writers import WRITERS
+        name = argv[1]
+        kw = dict(a.split("=", 1) for a in argv[2:] if "=" in a)
+        root = kw.get("--root") or kw.get("root")
+        out = kw.get("--out") or kw.get("out")
+        if name not in WRITERS or not root or not out:
+            print(f"usage: rmcl prepare {{{'|'.join(WRITERS)}}} "
+                  f"root=RAW_DIR out=ARROW_DIR")
+            return 2
+        WRITERS[name](root, out)
+        return 0
+
+    if argv[0] == "with":
+        argv = argv[1:]
+    names, overrides = parse_with(argv)
+    try:
+        cfg = build_config(*names, **overrides)
+    except (KeyError, TypeError) as e:
+        print(f"error: {e}\n  named configs: rmcl configs\n"
+              f"  overrides must be valid RMCLConfig fields", file=sys.stderr)
+        return 2
+
+    import jax
+    from rmcl_tpu.train.loop import Trainer
+
+    if jax.process_count() > 1:
+        jax.distributed.initialize()
+
+    trainer = Trainer(cfg, workdir=cfg.log_dir)
+    trainer.setup()
+    print(f"[rmcl] exp={cfg.exp_name} tasks={[k for k, v in cfg.loss_names.items() if v >= 1]} "
+          f"devices={jax.device_count()} max_steps={trainer.max_steps}")
+
+    if cfg.test_only:
+        metrics = trainer.validate(split="test")
+        for k, v in sorted(metrics.items()):
+            print(f"{k}: {v}")
+    else:
+        trainer.fit()
+        metrics = trainer.validate(split="val")
+        for k, v in sorted(metrics.items()):
+            print(f"{k}: {v}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

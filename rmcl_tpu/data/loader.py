@@ -1,0 +1,115 @@
+"""Host input pipeline: sharded sampling + threaded prefetch loader.
+
+Replaces the reference's torch DataLoader + DistributedSampler stack
+(reference vilt/datamodules/multitask_datamodule.py:35-51): each host
+reads only its own shard of every epoch permutation
+(``rank::world_size``, same slicing DistributedSampler uses), workers
+are a thread pool decoding/transforming ahead of the training loop, and
+batches come out as plain numpy dicts ready for ``jax.device_put``.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
+
+import numpy as np
+
+
+class ConcatDataset:
+    """Concatenation of datasets (reference uses torch ConcatDataset,
+    multitask_datamodule.py:35-37)."""
+
+    def __init__(self, datasets: Sequence[Any]):
+        self.datasets = [d for d in datasets if len(d) > 0]
+        self.offsets = np.cumsum([0] + [len(d) for d in self.datasets])
+
+    def __len__(self) -> int:
+        return int(self.offsets[-1])
+
+    def __getitem__(self, idx: int):
+        di = int(np.searchsorted(self.offsets, idx, side="right")) - 1
+        return self.datasets[di][idx - int(self.offsets[di])]
+
+    @property
+    def corpus(self) -> List[str]:
+        out: List[str] = []
+        for d in self.datasets:
+            out.extend(getattr(d, "corpus", []))
+        return out
+
+
+class DataLoader:
+    """Deterministic epoch iteration with per-host sharding and threaded
+    prefetch.  `set_epoch` reshuffles (DistributedSampler semantics)."""
+
+    def __init__(self, dataset, batch_size: int,
+                 collate_fn: Callable[[List[Dict[str, Any]]], Dict[str, Any]],
+                 shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                 num_workers: int = 4, prefetch: int = 2,
+                 process_index: int = 0, process_count: int = 1):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.process_index = process_index
+        self.process_count = process_count
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def _indices(self) -> np.ndarray:
+        n = len(self.dataset)
+        if self.shuffle:
+            order = np.random.RandomState(self.seed + self.epoch).permutation(n)
+        else:
+            order = np.arange(n)
+        return order[self.process_index::self.process_count]
+
+    def __len__(self) -> int:
+        n = len(self._indices())
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batches(self) -> Iterator[np.ndarray]:
+        idx = self._indices()
+        end = (len(idx) // self.batch_size * self.batch_size
+               if self.drop_last else len(idx))
+        for s in range(0, end, self.batch_size):
+            yield idx[s:s + self.batch_size]
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        pool = ThreadPoolExecutor(max_workers=self.num_workers)
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def make_batch(bidx):
+            samples = list(pool.map(self.dataset.__getitem__, bidx))
+            return self.collate_fn(samples)
+
+        def producer():
+            try:
+                for bidx in self._batches():
+                    if stop.is_set():
+                        return
+                    out_q.put(make_batch(bidx))
+            finally:
+                out_q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                b = out_q.get()
+                if b is None:
+                    break
+                yield b
+        finally:
+            stop.set()
+            pool.shutdown(wait=False)

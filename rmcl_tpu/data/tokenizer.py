@@ -182,10 +182,13 @@ class WordPieceTokenizer:
     def __call__(self, texts, max_length: int = 40, padding="max_length",
                  truncation=True, return_special_tokens_mask=True,
                  return_tensors: Optional[str] = None):
-        if isinstance(texts, str):
+        single = isinstance(texts, str)
+        if single:
             texts = [texts]
         encs = [self.encode(t, max_length, padding, truncation) for t in texts]
         out = {k: [e[k] for e in encs] for k in encs[0]}
+        if single:  # HF parity: a single string yields flat lists
+            out = {k: v[0] for k, v in out.items()}
         if return_tensors == "np":
             out = {k: np.asarray(v, np.int32) for k, v in out.items()}
         return out

