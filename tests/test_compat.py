@@ -1,0 +1,235 @@
+"""Checkpoint-compat tests: state-dict round-trip and NUMERIC parity of
+the full converted forward against a torch re-implementation of the
+reference ViLT semantics (reference vilt/modules/vilt_module.py:275-351,
+vision_transformer.py) on a full-valid image (no patch selection)."""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as nn
+
+from rmcl_tpu.compat.torch_loader import (
+    convert_state_dict, export_state_dict, graft_pretrain_heads,
+    resize_pos_embed)
+from rmcl_tpu.core.config import build_config, loss_names
+from rmcl_tpu.models.vilt import ViLTModel, init_vilt
+
+
+def _cfg(losses, **kw):
+    base = dict(
+        hidden_size=32, num_heads=2, num_layers=2, patch_size=8,
+        image_size=32, image_bucket_hw=(32, 32), max_text_len=8,
+        vocab_size=50, loss_names=loss_names(losses), max_image_len=-1,
+        use_pallas_attention=False, compute_dtype="float32", drop_rate=0.0)
+    base.update(kw)
+    return build_config(**base)
+
+
+# ----------------------------------------------------------- round-trip
+def test_export_convert_roundtrip():
+    cfg = _cfg({"moco": 1, "nlvr2": 1, "mlm": 1, "itm": 1,
+                "barlowtwins": 1}, num_negative=8)
+    params, state = init_vilt(jax.random.PRNGKey(0), cfg)
+    sd = export_state_dict(params, state, cfg.num_layers)
+    p2, s2 = convert_state_dict(sd, cfg)
+
+    flat1 = jax.tree_util.tree_flatten_with_path(params)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(p2)[0])
+    # mask_token is synthesized when absent; all real leaves must match
+    for path, v1 in flat1:
+        assert path in flat2, f"missing {path}"
+        np.testing.assert_allclose(np.asarray(v1), np.asarray(flat2[path]),
+                                   rtol=1e-6, err_msg=str(path))
+    np.testing.assert_allclose(np.asarray(state["proj_queue"]),
+                               np.asarray(s2["proj_queue"]), rtol=1e-6)
+
+
+def test_resize_pos_embed():
+    pos = np.random.RandomState(0).randn(1, 1 + 16, 8).astype(np.float32)
+    out = resize_pos_embed(pos, 36)
+    assert out.shape == (1, 37, 8)
+    np.testing.assert_allclose(out[:, 0], pos[:, 0])  # cls untouched
+
+
+# ------------------------------------------------- torch reference model
+class TorchViLT(nn.Module):
+    """Minimal faithful torch ViLT (reference semantics, full-valid image)."""
+
+    def __init__(self, cfg):
+        super().__init__()
+        C, H = cfg.hidden_size, cfg.num_heads
+        P = cfg.patch_size
+        V, T = cfg.vocab_size, cfg.max_text_len
+        grid = cfg.image_size // P
+
+        class BertEmb(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.word_embeddings = nn.Embedding(V, C)
+                self.position_embeddings = nn.Embedding(T, C)
+                self.token_type_embeddings = nn.Embedding(2, C)
+                self.LayerNorm = nn.LayerNorm(C, eps=1e-12)
+
+            def forward(self, ids):
+                pos = torch.arange(ids.shape[1])[None]
+                x = (self.word_embeddings(ids)
+                     + self.position_embeddings(pos)
+                     + self.token_type_embeddings(torch.zeros_like(ids)))
+                return self.LayerNorm(x)
+
+        class Block(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.norm1 = nn.LayerNorm(C, eps=1e-6)
+
+                class Attn(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.qkv = nn.Linear(C, 3 * C)
+                        self.proj = nn.Linear(C, C)
+
+                    def forward(self, x):
+                        B, S, _ = x.shape
+                        qkv = self.qkv(x).reshape(B, S, 3, H, C // H)
+                        qkv = qkv.permute(2, 0, 3, 1, 4)
+                        q, k, v = qkv[0], qkv[1], qkv[2]
+                        attn = (q @ k.transpose(-2, -1)) * (C // H) ** -0.5
+                        attn = attn.softmax(dim=-1)
+                        x = (attn @ v).transpose(1, 2).reshape(B, S, C)
+                        return self.proj(x)
+
+                self.attn = Attn()
+                self.norm2 = nn.LayerNorm(C, eps=1e-6)
+
+                class Mlp(nn.Module):
+                    def __init__(self):
+                        super().__init__()
+                        self.fc1 = nn.Linear(C, C * cfg.mlp_ratio)
+                        self.fc2 = nn.Linear(C * cfg.mlp_ratio, C)
+
+                    def forward(self, x):
+                        return self.fc2(nn.functional.gelu(self.fc1(x)))
+
+                self.mlp = Mlp()
+
+            def forward(self, x):
+                x = x + self.attn(self.norm1(x))
+                return x + self.mlp(self.norm2(x))
+
+        class ViT(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.patch_embed = nn.Module()
+                self.patch_embed.proj = nn.Conv2d(3, C, P, stride=P)
+                self.cls_token = nn.Parameter(torch.randn(1, 1, C) * 0.02)
+                self.pos_embed = nn.Parameter(
+                    torch.randn(1, grid * grid + 1, C) * 0.02)
+                self.blocks = nn.ModuleList(
+                    [Block() for _ in range(cfg.num_layers)])
+                self.norm = nn.LayerNorm(C, eps=1e-6)
+
+        class Pooler(nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.dense = nn.Linear(C, C)
+
+            def forward(self, x):
+                return torch.tanh(self.dense(x[:, 0]))
+
+        self.text_embeddings = BertEmb()
+        self.token_type_embeddings = nn.Embedding(2, C)
+        self.transformer = ViT()
+        self.pooler = Pooler()
+        self.cfg = cfg
+
+    def forward(self, ids, img):
+        # full-valid image path of reference infer (vilt_module.py:275-351)
+        t = self.transformer
+        x = t.patch_embed.proj(img)                   # (B, C, gh, gw)
+        B, C, gh, gw = x.shape
+        x = x.flatten(2).transpose(1, 2)              # (B, N, C)
+        x = x + t.pos_embed[:, 1:]
+        cls = t.cls_token.expand(B, -1, -1) + t.pos_embed[:, :1]
+        image_embeds = torch.cat([cls, x], dim=1)
+
+        text_embeds = self.text_embeddings(ids)
+        text_embeds = text_embeds + self.token_type_embeddings(
+            torch.zeros_like(ids))
+        image_embeds = image_embeds + self.token_type_embeddings(
+            torch.ones(B, image_embeds.shape[1], dtype=torch.long))
+
+        co = torch.cat([text_embeds, image_embeds], dim=1)
+        for blk in t.blocks:
+            co = blk(co)
+        co = t.norm(co)
+        return co, self.pooler(co)
+
+
+def test_converted_forward_matches_torch():
+    torch.manual_seed(0)
+    cfg = _cfg({"itm": 1})
+    tm = TorchViLT(cfg).eval()
+
+    # export torch -> reference-named state dict
+    sd = {k: v for k, v in tm.state_dict().items()}
+    params, _ = convert_state_dict(sd, cfg)
+    # pooler may be missing? no: pooler in sd as pooler.dense.*
+    model = ViLTModel(cfg)
+
+    r = np.random.RandomState(0)
+    img = r.uniform(0.1, 1.0, (2, 32, 32, 3)).astype(np.float32)
+    ids = r.randint(1, cfg.vocab_size, (2, cfg.max_text_len)).astype(np.int32)
+    masks = np.ones_like(ids)
+
+    with torch.no_grad():
+        feats_t, cls_t = tm(torch.tensor(ids, dtype=torch.long),
+                            torch.tensor(img).permute(0, 3, 1, 2))
+
+    batch = {"image": jnp.asarray(img), "text_ids": jnp.asarray(ids),
+             "text_labels": jnp.full_like(jnp.asarray(ids), -100),
+             "text_masks": jnp.asarray(masks)}
+    out = model.infer(params, batch, deterministic=True)
+
+    ours = np.concatenate([np.asarray(out["text_feats"]),
+                           np.asarray(out["image_feats"])], axis=1)
+    np.testing.assert_allclose(ours, feats_t.numpy(), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(out["cls_feats"]),
+                               cls_t.numpy(), atol=2e-4)
+
+
+def test_graft_pretrain_heads():
+    sd = {"mlm_score.bias": np.zeros(5), "itm_score.fc.weight": np.zeros((2, 4)),
+          "itm_score.fc.bias": np.zeros(2)}
+    pre = {
+        "mlm_score.bias": np.ones(5),
+        "mlm_score.transform.dense.weight": np.ones((4, 4)),
+        "mlm_score.transform.dense.bias": np.ones(4),
+        "mlm_score.transform.LayerNorm.weight": np.ones(4),
+        "mlm_score.transform.LayerNorm.bias": np.ones(4),
+        "mlm_score.decoder.weight": np.ones((5, 4)),
+        "itm_score.fc.weight": np.ones((2, 4)),
+        "itm_score.fc.bias": np.ones(2),
+    }
+    out = graft_pretrain_heads(sd, pre, loss_names({"mlm": 1, "itm": 1}))
+    assert np.all(out["mlm_score.bias"] == 1)
+    assert np.all(out["itm_score.fc.weight"] == 1)
+    out2 = graft_pretrain_heads(sd, pre, loss_names({"vqa": 1}))
+    assert np.all(out2["mlm_score.bias"] == 0)
+
+
+def test_torch_ckpt_file_loading(tmp_path):
+    """torch.save -> load_torch_checkpoint end-to-end."""
+    from rmcl_tpu.compat.torch_loader import load_torch_checkpoint
+    torch.manual_seed(1)
+    cfg = _cfg({"itm": 1})
+    tm = TorchViLT(cfg)
+    path = str(tmp_path / "ckpt.ckpt")
+    torch.save({"state_dict": tm.state_dict()}, path)
+    params, state = load_torch_checkpoint(path, cfg)
+    assert "transformer" in params and "pooler" in params
+    k = np.asarray(params["transformer"]["blocks"]["attn"]["qkv"]["kernel"])
+    assert k.shape == (cfg.num_layers, cfg.hidden_size, 3 * cfg.hidden_size)
