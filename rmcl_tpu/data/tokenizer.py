@@ -16,6 +16,7 @@ If `transformers` can resolve the named tokenizer locally (cache/dir),
 from __future__ import annotations
 
 import os
+import re
 import unicodedata
 from typing import Dict, List, Optional, Sequence
 
@@ -156,9 +157,20 @@ class WordPieceTokenizer:
         return out
 
     def tokenize(self, text: str) -> List[str]:
+        # HF parity: special tokens in the input text are never split
+        # (BertTokenizer never_split) — needed for "[MASK]" round-trips.
         toks: List[str] = []
-        for w in self.basic_tokenize(text):
-            toks.extend(self.wordpiece(w))
+        pattern = re.compile(
+            "(" + "|".join(re.escape(s) for s in (PAD, UNK, CLS, SEP, MASK))
+            + ")")
+        for part in pattern.split(text):
+            if not part:
+                continue
+            if part in (PAD, UNK, CLS, SEP, MASK):
+                toks.append(part)
+                continue
+            for w in self.basic_tokenize(part):
+                toks.extend(self.wordpiece(w))
         return toks
 
     # --------------------------------------------------------- encode
