@@ -72,8 +72,15 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
                         split: str = "test", txt_chunk: int = 256,
                         max_texts: Optional[int] = None,
                         max_images: Optional[int] = None,
-                        verbose: bool = True) -> Tuple[float, ...]:
-    """Full cross-product IR/TR recall using `rank_output` scores."""
+                        verbose: bool = True,
+                        attack_text_fn=None,
+                        attack_image_fn=None) -> Tuple[float, ...]:
+    """Full cross-product IR/TR recall using `rank_output` scores.
+
+    `attack_text_fn(ids, masks) -> (ids, masks)` and
+    `attack_image_fn(canvas) -> canvas` perturb the cached inputs before
+    ranking — the attacked-recall path (see compute_attacked_irtr_recall).
+    """
     cfg = trainer.cfg
     model, params = trainer.model, trainer.ts.params
     name = dataset_name or cfg.datasets[0]
@@ -102,6 +109,9 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
                                        tiids[keep])
         n_txt_total = len(tiids)
     iids = np.asarray(img_rows, np.int64)
+
+    if attack_text_fn is not None:
+        text_ids, text_masks = attack_text_fn(text_ids, text_masks)
 
     # ---- 3. jitted pair scorer: one image's cached embeds vs a text chunk
     spec = trainer.model.spec
@@ -138,6 +148,8 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
         H, W = cfg.image_bucket_hw
         canvas = np.zeros((1, H, W, 3), np.float32)
         canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]
+        if attack_image_fn is not None:
+            canvas = np.asarray(attack_image_fn(canvas))
         ie, im = embed_image(jnp.asarray(canvas))
         for s, e in _chunked(n_txt_total, txt_chunk):
             ids = _pad_to(text_ids[s:e], txt_chunk)
@@ -151,3 +163,86 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
                   f"({dt:.2f}s/img)", flush=True)
 
     return recall_at_k(scores, iids, tiids)
+
+
+def compute_attacked_irtr_recall(trainer, dataset_name: Optional[str] = None,
+                                 split: str = "test",
+                                 max_texts: Optional[int] = 20 * 4,
+                                 max_images: Optional[int] = None,
+                                 text_view: bool = True,
+                                 image_view: bool = True,
+                                 **kw) -> Tuple[float, ...]:
+    """Attacked IR/TR recall (reference
+    compute_attacked_irtr_recall:1348-1502, whose rank loop ignored the
+    attacked preloads — fixed here: attacked inputs ARE ranked).
+
+    Text attack: greedy word substitution against the in-batch matching
+    loss; image attack: the repaired IRTR PGD.  Both capped by
+    `max_texts` like the reference's 20-batch preload (:1350,1365).
+    """
+    cfg = trainer.cfg
+    model, ts = trainer.model, trainer.ts
+    from rmcl_tpu import attacks
+    from rmcl_tpu.models.heads import moco_head
+    from rmcl_tpu.objectives.losses import l2_normalize
+    import jax as _jax
+
+    attack_text_fn = None
+    if text_view and getattr(trainer, "greedy", None) is not None:
+        def attack_text_fn(ids, masks):
+            out_ids = ids.copy()
+            out_masks = masks.copy()
+            B = 16
+            for s in range(0, len(ids), B):
+                chunk = {"text_ids": ids[s:s + B],
+                         "text_masks": masks[s:s + B]}
+                # text-only proxy batch: attack vs own moco projection
+                infer = model.infer(
+                    ts.params,
+                    dict(chunk, image=jnp.zeros(
+                        (len(chunk["text_ids"]), *cfg.image_bucket_hw, 3),
+                        jnp.float32) + 0.5,
+                        text_labels=jnp.full_like(
+                            jnp.asarray(chunk["text_ids"]), -100)),
+                    deterministic=True)
+                tr_repr = l2_normalize(moco_head(
+                    ts.params["moco_head"], infer["cls_feats"]), axis=1)
+                extras = (_jax.lax.stop_gradient(tr_repr), cfg.temperature,
+                          jnp.arange(tr_repr.shape[0]))
+                res = trainer.greedy.adv_attack_samples(
+                    ts.params,
+                    {"text_ids": chunk["text_ids"],
+                     "text_masks": chunk["text_masks"],
+                     "text_labels": np.full_like(chunk["text_ids"], -100),
+                     "image": np.zeros(
+                         (len(chunk["text_ids"]), *cfg.image_bucket_hw, 3),
+                         np.float32) + 0.5},
+                    extras)
+                out_ids[s:s + B] = res["txt_input_ids"]
+                out_masks[s:s + B] = res["text_masks"]
+            return out_ids, out_masks
+
+    attack_image_fn = None
+    if image_view and "moco_head" in ts.params:
+        pgd = attacks.make_pgd_irtr(model, cfg.adv_steps_img,
+                                    cfg.adv_lr_img, cfg.adv_max_norm_img,
+                                    cfg.temperature)
+
+        def attack_image_fn(canvas):
+            batch = {
+                "image": jnp.asarray(canvas),
+                "text_ids": jnp.zeros((1, cfg.max_text_len), jnp.int32),
+                "text_labels": jnp.full((1, cfg.max_text_len), -100),
+                "text_masks": jnp.ones((1, cfg.max_text_len), jnp.int32),
+            }
+            infer = model.infer(ts.params, batch, deterministic=True)
+            tr_repr = l2_normalize(moco_head(
+                ts.params["moco_head"], infer["cls_feats"]), axis=1)
+            delta = pgd(ts.params, batch, tr_repr)
+            return canvas + np.asarray(delta)
+
+    return compute_irtr_recall(
+        trainer, dataset_name=dataset_name, split=split,
+        max_texts=max_texts, max_images=max_images,
+        attack_text_fn=attack_text_fn, attack_image_fn=attack_image_fn,
+        **kw)

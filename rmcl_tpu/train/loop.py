@@ -28,6 +28,7 @@ from rmcl_tpu.data.datamodule import MultitaskDataModule
 from rmcl_tpu.eval.metrics import MetricBag, Scalar
 from rmcl_tpu.parallel import make_mesh, shard_batch
 from rmcl_tpu.train.checkpoint import CheckpointManager
+from rmcl_tpu.train.logging import MetricLogger
 from rmcl_tpu.train.step import (
     TrainState, create_train_state, make_eval_step, make_train_step,
     resolve_max_steps)
@@ -150,6 +151,8 @@ class Trainer:
                        if cfg.text_view else None)
         self.train_metrics = MetricBag(cfg.loss_names)
         self.val_metrics = MetricBag(cfg.loss_names)
+        self.logger = MetricLogger(
+            self.workdir, enabled=jax.process_index() == 0)
 
     # ------------------------------------------------------------- attack
     def _attach_text_attack(self, db: Dict[str, Any]) -> Dict[str, Any]:
@@ -191,6 +194,8 @@ class Trainer:
                 if self.steps_done % log_every == 0:
                     dt = (time.time() - t0) / log_every
                     t0 = time.time()
+                    self.logger.log(self.steps_done, metrics,
+                                    prefix="train/")
                     print(f"[train] step {self.steps_done}/{limit} "
                           f"loss={float(metrics['total_loss']):.4f} "
                           f"lr={float(metrics['lr']):.2e} "
@@ -199,6 +204,7 @@ class Trainer:
                     break
             tm = self.train_metrics.epoch_wrapup("train")
             vm = self.validate()
+            self.logger.log(self.steps_done, {**tm, **vm})
             print(f"[epoch {epoch}] train_the_metric="
                   f"{tm.get('train/the_metric', 0):.4f} "
                   f"val_the_metric={vm.get('val/the_metric', 0):.4f}",

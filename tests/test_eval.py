@@ -147,3 +147,62 @@ def test_trainer_fast_dev_run(tmp_path):
     # resume path
     restored = tr.ckpt.restore(tr.ts, "last")
     assert int(restored.step) == int(ts.step)
+
+
+def test_compute_irtr_recall_e2e(tmp_path):
+    """Recall evaluator over a synthetic arrow dataset with an irtr model."""
+    import jax
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.eval.retrieval import compute_irtr_recall
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow), n=4)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    cfg = build_config(
+        "task_finetune_irtr_coco",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=2, warmup_steps=0, batch_size=8,
+        draw_false_text=2, num_workers=2, max_image_len=-1,
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    r = compute_irtr_recall(tr, split="test", txt_chunk=4, verbose=False)
+    assert len(r) == 6
+    assert all(0.0 <= x <= 1.0 for x in r)
+    # 4 images, 1 caption each, random net: r@10 >= r@5 >= r@1
+    assert r[2] >= r[1] >= r[0]
+    assert r[5] >= r[4] >= r[3]
+    # with only 4 images, top-10 must contain the match
+    assert r[2] == 1.0 and r[5] == 1.0
+
+
+def test_comm_single_process():
+    from rmcl_tpu.parallel.comm import (
+        all_gather, gather, get_rank, get_world_size, reduce_dict,
+        synchronize)
+    assert get_world_size() == 1 and get_rank() == 0
+    synchronize()
+    assert all_gather({"a": 1}) == [{"a": 1}]
+    assert gather([1, 2]) == [[1, 2]]
+    out = reduce_dict({"x": 2.0, "y": 4.0})
+    assert out["x"] == 2.0 and out["y"] == 4.0
+
+
+def test_metric_logger(tmp_path):
+    from rmcl_tpu.train.logging import MetricLogger
+    lg = MetricLogger(str(tmp_path))
+    lg.log(1, {"loss": np.float32(2.0), "skip": "str"}, prefix="train/")
+    lg.log(2, {"loss": 1.5})
+    lg.close()
+    lines = [json.loads(l) for l in
+             open(os.path.join(str(tmp_path), "metrics.jsonl"))]
+    assert lines[0]["train/loss"] == 2.0
+    assert lines[1]["loss"] == 1.5
+    assert "skip" not in lines[0]
