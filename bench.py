@@ -29,11 +29,14 @@ import time
 
 import numpy as np
 
+import os
+
 REF_PAIRS_PER_SEC_PER_GPU = 35.0
 
-BATCH = 32
+BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 WARMUP = 2
-ITERS = 10
+ITERS = int(os.environ.get("BENCH_ITERS", "10"))
+PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
 
 
 def log(*a):
@@ -57,7 +60,7 @@ def main():
         max_image_len=200,
         image_view=True, text_view=True,
         adv_steps_img=5, adv_lr_img=0.05, adv_max_norm_img=0.005,
-        use_pallas_attention=on_tpu,
+        use_pallas_attention=on_tpu and PALLAS,
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH,
         max_steps=200000,

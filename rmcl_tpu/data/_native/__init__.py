@@ -1,0 +1,56 @@
+"""Native (C++) input-pipeline kernels, loaded via ctypes.
+
+`load_wordpiece()` compiles wordpiece.cpp with g++ on first use (cached
+.so next to the source) and returns the bound library, or None when no
+toolchain is available — callers fall back to the Python path.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Optional
+
+_DIR = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_DIR, "wordpiece.cpp")
+_SO = os.path.join(_DIR, "_wordpiece.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _bind(lib):
+    lib.wp_create.restype = ctypes.c_void_p
+    lib.wp_create.argtypes = [ctypes.c_char_p]
+    lib.wp_free.argtypes = [ctypes.c_void_p]
+    lib.wp_vocab_size.restype = ctypes.c_int32
+    lib.wp_vocab_size.argtypes = [ctypes.c_void_p]
+    lib.wp_is_ascii.restype = ctypes.c_int32
+    lib.wp_is_ascii.argtypes = [ctypes.c_char_p, ctypes.c_int64]
+    lib.wp_encode_batch.restype = ctypes.c_int32
+    lib.wp_encode_batch.argtypes = [
+        ctypes.c_void_p, ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_int64), ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_int32), ctypes.POINTER(ctypes.c_int32)]
+    return lib
+
+
+def load_wordpiece() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        try:
+            if (not os.path.exists(_SO)
+                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+                subprocess.run(
+                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
+                     "-o", _SO, _SRC],
+                    check=True, capture_output=True)
+            _lib = _bind(ctypes.CDLL(_SO))
+        except Exception:
+            _lib = None
+        return _lib

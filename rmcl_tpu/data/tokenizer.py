@@ -53,7 +53,8 @@ def _is_cjk(cp: int) -> bool:
 
 class WordPieceTokenizer:
     def __init__(self, vocab_path: str, do_lower_case: bool = True,
-                 max_input_chars_per_word: int = 100):
+                 max_input_chars_per_word: int = 100,
+                 use_native: bool = True):
         self.vocab: Dict[str, int] = {}
         with open(vocab_path, encoding="utf-8") as f:
             for i, line in enumerate(f):
@@ -66,6 +67,17 @@ class WordPieceTokenizer:
         self.cls_token_id = self.vocab[CLS]
         self.sep_token_id = self.vocab[SEP]
         self.mask_token_id = self.vocab[MASK]
+        # native C++ fast path for ASCII batch encoding
+        self._native = None
+        self._native_handle = None
+        if use_native:
+            from rmcl_tpu.data._native import load_wordpiece
+            lib = load_wordpiece()
+            if lib is not None:
+                h = lib.wp_create(vocab_path.encode())
+                if h and lib.wp_vocab_size(h) == len(self.vocab):
+                    self._native = lib
+                    self._native_handle = h
 
     # HF-compatible aliases
     @property
@@ -206,8 +218,36 @@ class WordPieceTokenizer:
         return out
 
     def batch_encode(self, texts: Sequence[str], max_length: int):
+        native = self._batch_encode_native(texts, max_length)
+        if native is not None:
+            return native
         enc = self(list(texts), max_length=max_length, return_tensors="np")
         return enc["input_ids"], enc["attention_mask"]
+
+    def _batch_encode_native(self, texts: Sequence[str], max_length: int):
+        """C++ fast path (rmcl_tpu/data/_native): ASCII-only texts."""
+        if self._native is None or not texts:
+            return None
+        import ctypes
+        try:
+            blobs = [t.encode("ascii") for t in texts]
+        except UnicodeEncodeError:
+            return None
+        n = len(blobs)
+        payload = b"".join(blobs)
+        offsets = np.zeros((n + 1,), np.int64)
+        np.cumsum([len(b) for b in blobs], out=offsets[1:])
+        ids = np.zeros((n, max_length), np.int32)
+        mask = np.zeros((n, max_length), np.int32)
+        rc = self._native.wp_encode_batch(
+            self._native_handle, payload,
+            offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+            n, max_length,
+            ids.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            mask.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        if rc != 0:
+            return None
+        return ids, mask
 
     def decode(self, ids, skip_special_tokens: bool = True,
                clean_up_tokenization_spaces: bool = False) -> str:

@@ -314,3 +314,53 @@ def test_vqa_writer_roundtrip(tmp_path, tok):
     item = ds[0]
     assert item["vqa_answer"] == ["yes"]
     assert item["vqa_scores"] == [1.0]
+
+
+# ----------------------------------------------------------- native C++
+def test_native_wordpiece_parity_and_speed(tok):
+    """C++ batch encoder must be token-exact vs the Python implementation."""
+    from rmcl_tpu.data._native import load_wordpiece
+    lib = load_wordpiece()
+    assert lib is not None, "g++ toolchain expected in this image"
+    assert tok._native is not None
+
+    texts = [
+        "a dog running in the park",
+        "The QUICK dog!! jumping, over...",
+        "a [MASK] sitting on the grass",
+        "unknownword dogcat jumping",
+        "",
+        "punctuation-only: ?!.",
+    ] * 20
+    ids_c, mask_c = tok._batch_encode_native(texts, 16)
+    py = WordPieceTokenizer(tok_vocab_path(tok), use_native=False)
+    ids_p, mask_p = py.batch_encode(texts, 16)
+    np.testing.assert_array_equal(ids_c, ids_p)
+    np.testing.assert_array_equal(mask_c, mask_p)
+
+    # non-ASCII routes to python path (no crash, same shapes)
+    ids2, mask2 = tok.batch_encode(["café au lait"], 16)
+    assert ids2.shape == (1, 16)
+
+    import time
+    big = texts * 20  # 2400 sentences ~ greedy-attack scale
+    t0 = time.perf_counter()
+    tok._batch_encode_native(big, 40)
+    t_c = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    py.batch_encode(big, 40)
+    t_p = time.perf_counter() - t0
+    print(f"native {t_c*1e3:.1f}ms vs python {t_p*1e3:.1f}ms "
+          f"({t_p/max(t_c,1e-9):.1f}x)")
+    assert t_c < t_p  # native must actually be faster
+
+
+def tok_vocab_path(tok):
+    # reconstruct: the module fixture wrote vocab.txt; find via vocab dict
+    import tempfile, os
+    p = os.path.join(tempfile.gettempdir(), f"vocab_{id(tok)}.txt")
+    if not os.path.exists(p):
+        inv = sorted(tok.vocab.items(), key=lambda kv: kv[1])
+        with open(p, "w", encoding="utf-8") as f:
+            f.write("\n".join(k for k, _ in inv) + "\n")
+    return p
