@@ -36,7 +36,7 @@ REF_PAIRS_PER_SEC_PER_GPU = 35.0
 BATCH = int(os.environ.get("BENCH_BATCH", "32"))
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
-PALLAS = os.environ.get("BENCH_PALLAS", "1") == "1"
+PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
 
 
 def log(*a):
@@ -65,6 +65,7 @@ def main():
         per_device_batchsize=BATCH,
         max_steps=200000,
         remat_blocks=True,   # recompute block activations in backward
+        remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)

@@ -531,3 +531,66 @@ class GreedyAttackIrtr(GreedyAttack):
     def tile_extras(self, extras, nc):
         text_repr, temperature, sample_ids = extras
         return (text_repr, temperature, jnp.repeat(sample_ids, nc, axis=0))
+
+
+class GreedyAttackNlvr2CrossEntropy(GreedyAttack):
+    """Geometric-scored NLVR2 greedy attack (reference
+    Geometric_attack/greedy_attack_vilt_cross_entropy.py:418-447):
+    candidates are ranked by the FIRST-ORDER loss increase — the
+    projection of the representation delta onto the loss gradient,
+    score = (cls(cand) - cls(orig)) . dL/dcls — instead of re-evaluating
+    the full loss.  One gradient at the joint representation replaces a
+    per-candidate loss head pass.  extras = (labels (B,),)."""
+
+    def _cls_and_grad(self, params, batch, labels, word_embeds=None):
+        def cls_of(b):
+            i1 = self.model.infer(params, b, image_token_type_idx=1,
+                                  deterministic=True,
+                                  word_embeds=word_embeds)
+            i2 = self.model.infer(params, b, image_token_type_idx=2,
+                                  deterministic=True,
+                                  word_embeds=word_embeds)
+            return jnp.concatenate([i1["cls_feats"], i2["cls_feats"]],
+                                   axis=-1)
+
+        cls = cls_of(batch)
+
+        def head_loss(c):
+            logits = nlvr2_classifier(params["nlvr2_classifier"], c)
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), -1)
+            per = -jnp.take_along_axis(logp, labels[:, None], 1)[:, 0]
+            return jnp.sum(per), per
+
+        grad_cls, per = jax.grad(head_loss, has_aux=True)(cls)
+        return cls, grad_cls, per
+
+    def loss_per_sample(self, params, batch, extras, word_embeds=None):
+        (labels,) = extras
+        cls, grad_cls, per = self._cls_and_grad(params, batch, labels,
+                                                word_embeds)
+        # aux carries everything score_candidates needs, incl. the base
+        # loss so the first-order score compares against the commit rule
+        aux = (jax.lax.stop_gradient(cls),
+               jax.lax.stop_gradient(grad_cls),
+               jax.lax.stop_gradient(per))
+        return per, aux
+
+    def tile_extras(self, extras, nc):
+        (labels,) = extras
+        return (jnp.repeat(labels, nc, axis=0),)
+
+    def score_candidates(self, params, flat_batch, B, nc, extras, aux):
+        cls_orig, grad_cls, per = aux                 # (B, 2C), (B, 2C), (B,)
+        i1 = self.model.infer(params, flat_batch, image_token_type_idx=1,
+                              deterministic=True)
+        i2 = self.model.infer(params, flat_batch, image_token_type_idx=2,
+                              deterministic=True)
+        cls_cand = jnp.concatenate([i1["cls_feats"], i2["cls_feats"]],
+                                   axis=-1).reshape(B, nc, -1)
+        delta = cls_cand.astype(jnp.float32) - cls_orig[:, None].astype(
+            jnp.float32)
+        first_order = jnp.einsum("bnd,bd->bn", delta,
+                                 grad_cls.astype(jnp.float32))
+        # estimated candidate loss = current loss + first-order delta;
+        # the base commit rule keeps a candidate iff score > current loss
+        return per[:, None] + first_order

@@ -33,6 +33,11 @@ LOSS_KEYS = (
     "irtr_attacked",
     "nlvr2_attacked",
     "vqa_attacked",
+    # extensions beyond the reference's 11 keys: the reference ships
+    # compute_mppd/compute_mpfr (objectives.py:668-711) but no loss keys
+    # or heads for them (dormant); here they are activatable.
+    "mppd",
+    "mpfr",
 )
 
 
@@ -137,11 +142,17 @@ class RMCLConfig:
 
     # ----- TPU-native knobs (no reference counterpart) -----
     image_bucket_hw: Tuple[int, int] = (384, 640)  # static pad canvas (H, W)
-    use_pallas_attention: bool = True
+    # measured on v5e at ViLT shapes (B32,H12,S256,D64): XLA's batched
+    # attention GEMMs beat the fused Pallas kernel (748us vs 980us;
+    # full RMCL step 50.6 vs 45.9 pairs/s) — the D=64 contraction
+    # underfills the MXU and XLA fuses the softmax chain already.  The
+    # Pallas kernel stays available for long-sequence regimes.
+    use_pallas_attention: bool = False
     compute_dtype: str = "bfloat16"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_blocks: bool = False  # jax.checkpoint each transformer block
+    remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     log_every_n_steps: int = 10
 
     # ---------------------------------------------------------------

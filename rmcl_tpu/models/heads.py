@@ -171,3 +171,29 @@ def init_rank_output_from_itm(itm_params):
 
 def rank_output(p, x):
     return L.linear(p, x)
+
+
+# ------------------------------------------------- MPPD / MPFR (dormant)
+def init_mppd_head(key, hidden: int, patch_dim: int):
+    """Dense masked-patch regression head.  The reference's compute_mppd
+    (objectives.py:668-688) references a `mppd_score` module that is
+    never constructed (SURVEY.md §2.2 C6 note) — this is the natural
+    completion: hidden -> P*P*3 pixel regression."""
+    k1, k2 = jax.random.split(key)
+    return {
+        "transform": {
+            "dense": L.linear_init(k1, hidden, hidden),
+            "LayerNorm": L.layer_norm_init(hidden),
+        },
+        "decoder": L.linear_init(k2, hidden, patch_dim),
+    }
+
+
+def mppd_head(p, x):
+    y = L.gelu(L.linear(p["transform"]["dense"], x))
+    y = L.layer_norm(p["transform"]["LayerNorm"], y, eps=BERT_LN_EPS)
+    return L.linear(p["decoder"], y)
+
+
+init_mpfr_head = init_mppd_head  # same shape: hidden -> patch feature dim
+mpfr_head = mppd_head

@@ -41,6 +41,7 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         drop_rate=cfg.drop_rate,
         use_pallas=cfg.use_pallas_attention,
         remat=cfg.remat_blocks,
+        remat_policy=cfg.remat_policy,
     )
 
 
@@ -72,6 +73,12 @@ def init_vilt(key, cfg: RMCLConfig):
         params["itm_score"] = H.init_itm_head(next(ks), cfg.hidden_size)
     if _needs(cfg, "mpp"):
         params["mpp_score"] = H.init_mpp_head(next(ks), cfg.hidden_size)
+    if _needs(cfg, "mppd"):
+        params["mppd_score"] = H.init_mppd_head(
+            next(ks), cfg.hidden_size, cfg.patch_size ** 2 * 3)
+    if _needs(cfg, "mpfr"):
+        params["mpfr_score"] = H.init_mpfr_head(
+            next(ks), cfg.hidden_size, cfg.hidden_size)
 
     if _needs(cfg, "moco"):
         params["moco_head"] = H.init_moco_head(

@@ -50,6 +50,7 @@ class ViTSpec(NamedTuple):
     drop_rate: float = 0.1
     use_pallas: bool = True
     remat: bool = False
+    remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
 
     @property
     def patch_dim(self) -> int:
@@ -264,6 +265,13 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
     return x + y
 
 
+def _remat(fn, spec: ViTSpec):
+    if spec.remat_policy == "dots":
+        return jax.checkpoint(
+            fn, policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable)
+    return jax.checkpoint(fn)
+
+
 def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
                       deterministic: bool = True):
     """Run all blocks via lax.scan over stacked params, then final norm."""
@@ -277,7 +285,7 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
         return out, None
 
     if spec.remat:
-        body = jax.checkpoint(body)
+        body = _remat(body, spec)
 
     xs = (params["blocks"], layer_rngs) if layer_rngs is not None else (
         params["blocks"], None)
@@ -287,7 +295,7 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
                                 deterministic=deterministic)
             return out, None
         if spec.remat:
-            body_norng = jax.checkpoint(body_norng)
+            body_norng = _remat(body_norng, spec)
         x, _ = jax.lax.scan(body_norng, x, params["blocks"])
     else:
         x, _ = jax.lax.scan(body, x, xs)

@@ -107,3 +107,64 @@ def compute_itm_wpa(model, params, batch, *, rng, train: bool = False,
         "itm_logits": logits,
         "itm_labels": itm_labels,
     }
+
+
+# ------------------------------------------- MPPD / MPFR (reference-dormant)
+def _gather_patch_targets(img, patch_index, patch_size: int):
+    """Per-selected-patch flat pixel vectors: (B, L, P*P*3) gathered by
+    the (h, w) grid coords visual_embed kept."""
+    B, H, W, _ = img.shape
+    P = patch_size
+    gh, gw = H // P, W // P
+    patches = img.reshape(B, gh, P, gw, P, 3)
+    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
+        B, gh * gw, P * P * 3)
+    flat = patch_index[..., 0] * gw + patch_index[..., 1]      # (B, L)
+    return jnp.take_along_axis(patches, flat[..., None], axis=1)
+
+
+def compute_mppd(model, params, batch, *, rng, train: bool = False):
+    """Masked-patch DENSE regression (reference objectives.py:668-688;
+    the reference head never exists — completed here as pixel-vector MSE
+    on masked patches)."""
+    from rmcl_tpu.models.heads import mppd_head
+
+    infer = model.infer(params, batch, mask_text=False, mask_image=True,
+                        rng=rng, deterministic=not train)
+
+    patch_index, _ = infer["patch_index"]
+    P = model.spec.patch_size
+    targets = _gather_patch_targets(batch["image"], patch_index, P)
+    logits = mppd_head(params["mppd_score"], infer["image_feats"][:, 1:])
+
+    masked = jnp.any(infer["image_labels"][:, 1:] != -100, axis=-1)
+    diff = (logits.astype(jnp.float32) - targets.astype(jnp.float32)) ** 2
+    denom = jnp.maximum(jnp.sum(masked) * diff.shape[-1], 1)
+    loss = jnp.sum(jnp.where(masked[..., None], diff, 0.0)) / denom
+    return {"mppd_loss": loss, "mppd_logits": logits,
+            "mppd_labels": targets}
+
+
+def compute_mpfr(model, params, batch, *, rng, train: bool = False):
+    """Masked-patch FEATURE regression (reference objectives.py:691-711,
+    also dormant): regress the clean patch embedding at masked positions."""
+    from rmcl_tpu.models.heads import mpfr_head
+    from rmcl_tpu.models.vit import patchify
+
+    infer = model.infer(params, batch, mask_text=False, mask_image=True,
+                        rng=rng, deterministic=not train)
+    patch_index, _ = infer["patch_index"]
+    gw = batch["image"].shape[2] // model.spec.patch_size
+    clean = patchify(params["transformer"]["patch_embed"], batch["image"],
+                     dtype=jnp.float32)                      # (B, N, C)
+    flat = patch_index[..., 0] * gw + patch_index[..., 1]
+    targets = jax.lax.stop_gradient(
+        jnp.take_along_axis(clean, flat[..., None], axis=1))
+    logits = mpfr_head(params["mpfr_score"], infer["image_feats"][:, 1:])
+
+    masked = jnp.any(infer["image_labels"][:, 1:] != -100, axis=-1)
+    diff = (logits.astype(jnp.float32) - targets) ** 2
+    denom = jnp.maximum(jnp.sum(masked) * diff.shape[-1], 1)
+    loss = jnp.sum(jnp.where(masked[..., None], diff, 0.0)) / denom
+    return {"mpfr_loss": loss, "mpfr_logits": logits,
+            "mpfr_labels": targets}

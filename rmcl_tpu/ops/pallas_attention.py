@@ -28,7 +28,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rmcl_tpu.ops.attention import mha_xla
 
-BLK_Q = 128
+import os
+
+# ViLT sequences are ~256 after padding: a single q-block per (batch,
+# head) program minimises grid steps and loads K/V exactly once.
+# Override for long-sequence experiments.
+BLK_Q = int(os.environ.get("RMCL_PALLAS_BLK_Q", "256"))
 _NEG_INF = -1e30
 
 

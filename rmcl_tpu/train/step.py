@@ -115,6 +115,8 @@ def _build_pgd(cfg: RMCLConfig, model: ViLTModel, task: str):
 _TASK_LOSS_KEYS = {
     "mlm": ("mlm_loss",),
     "mpp": ("mpp_loss",),
+    "mppd": ("mppd_loss",),
+    "mpfr": ("mpfr_loss",),
     "itm": ("itm_loss", "itm_wpa_loss"),
     "vqa": ("vqa_loss",),
     "nlvr2": ("nlvr2_loss",),
@@ -143,6 +145,12 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
     if "mpp" in tasks:
         ret.update(pretrain.compute_mpp(model, params, batch,
                                         rng=rngs["mpp"], train=train))
+    if "mppd" in tasks:
+        ret.update(pretrain.compute_mppd(model, params, batch,
+                                         rng=rngs["mppd"], train=train))
+    if "mpfr" in tasks:
+        ret.update(pretrain.compute_mpfr(model, params, batch,
+                                         rng=rngs["mpfr"], train=train))
     if "itm" in tasks:
         ret.update(pretrain.compute_itm_wpa(model, params, batch,
                                             rng=rngs["itm"], train=train))
