@@ -33,7 +33,10 @@ import os
 
 REF_PAIRS_PER_SEC_PER_GPU = 35.0
 
-BATCH = int(os.environ.get("BENCH_BATCH", "32"))
+# batch sweep on v5e (pairs/s/chip): 8 -> 54.5, 16 -> 56.8, 32 -> 50.6,
+# 64 -> 41.4; 16/chip is the measured optimum (matches the reference's
+# 16/GPU recipe, vilt/config.py:128-164 batch 128 over 8 GPUs)
+BATCH = int(os.environ.get("BENCH_BATCH", "16"))
 WARMUP = 2
 ITERS = int(os.environ.get("BENCH_ITERS", "10"))
 PALLAS = os.environ.get("BENCH_PALLAS", "0") == "1"
@@ -64,7 +67,7 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH,
         max_steps=200000,
-        remat_blocks=True,   # recompute block activations in backward
+        remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)

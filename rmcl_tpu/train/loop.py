@@ -224,6 +224,20 @@ class Trainer:
                   else self.dm.test_loader(self.per_host_batch))
         rng = jax.random.PRNGKey(cfg.seed + 2)
         bag = self.val_metrics
+
+        # VQA test-submission collection (reference vqa_test_step
+        # objectives.py:1519-1530 / vqa_test_wrapup :1537-1565)
+        vqa_writer = None
+        is_vqa = (cfg.loss_names.get("vqa", 0) >= 1
+                  or cfg.loss_names.get("vqa_attacked", 0) >= 1)
+        if split == "test" and is_vqa and self.dm.id2answer:
+            from rmcl_tpu.eval.vqa import VQASubmissionWriter
+            model_name = (os.path.basename(cfg.load_path).rsplit(".", 1)[0]
+                          if cfg.load_path else cfg.exp_name)
+            vqa_writer = VQASubmissionWriter(
+                self.dm.id2answer, out_dir=cfg.log_dir,
+                model_name=model_name)
+
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
@@ -232,8 +246,21 @@ class Trainer:
             ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)
             bag.update({k: np.asarray(v) for k, v in ret.items()
                         if hasattr(v, "ndim")})
+            if vqa_writer is not None and "qid" in batch:
+                vqa_writer.update(batch["qid"],
+                                  np.asarray(ret["vqa_logits"]))
             if cfg.fast_dev_run:
                 break
+
+        if vqa_writer is not None:
+            from rmcl_tpu.parallel.comm import all_gather
+            path = vqa_writer.finalize(
+                process_index=jax.process_index(),
+                process_count=jax.process_count(),
+                gather=all_gather if jax.process_count() > 1 else None)
+            if path:
+                print(f"[vqa] submission written to {path}", flush=True)
+
         recall = None
         if cfg.get_recall_metric and split != "val":
             from rmcl_tpu.eval.retrieval import compute_irtr_recall

@@ -206,3 +206,52 @@ def test_metric_logger(tmp_path):
     assert lines[0]["train/loss"] == 2.0
     assert lines[1]["loss"] == 1.5
     assert "skip" not in lines[0]
+
+
+def test_vqa_test_submission_via_trainer(tmp_path):
+    """CLI-equivalent: test_only VQA run writes the submission json."""
+    import pyarrow as pa
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    def png(seed):
+        img = Image.fromarray(np.random.RandomState(seed).randint(
+            0, 255, (40, 48, 3), np.uint8))
+        b = io.BytesIO(); img.save(b, format="PNG"); return b.getvalue()
+    vrows = {
+        "image": [png(i) for i in range(4)],
+        "questions": [["is the dog big"] for _ in range(4)],
+        "answers": [[["yes", "no"]] for _ in range(4)],
+        "answer_labels": [[[0, 1]] for _ in range(4)],
+        "answer_scores": [[[1.0, 0.3]] for _ in range(4)],
+        "question_id": [[100 + i] for i in range(4)],
+        "split": ["train"] * 4,
+    }
+    vt = pa.table(vrows)
+    for name in ("vqav2_train", "vqav2_trainable_val", "vqav2_val"):
+        with pa.OSFile(str(arrow / f"{name}.arrow"), "wb") as f:
+            with pa.RecordBatchFileWriter(f, vt.schema) as w:
+                w.write_table(vt)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "big", "is", "the"])
+
+    cfg = build_config(
+        "task_finetune_vqa",
+        datasets=("vqa",), data_root=str(arrow), test_only=True,
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, vqav2_label_size=5, use_pallas_attention=False,
+        compute_dtype="float32", drop_rate=0.0, max_steps=2,
+        warmup_steps=0, batch_size=8, num_workers=2, max_image_len=-1,
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    metrics = tr.validate(split="test")
+    assert "vqa_score" in metrics
+    sub = os.path.join(cfg.log_dir, "vqa_submit_finetune_vqa.json")
+    assert os.path.exists(sub)
+    data = json.load(open(sub))
+    assert {d["question_id"] for d in data} == {100, 101, 102, 103}
+    assert all(d["answer"] in ("yes", "no", "unknown") for d in data)
