@@ -153,6 +153,12 @@ class RMCLConfig:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_blocks: bool = False  # jax.checkpoint each transformer block
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
+    # batch the MoCo clean+attacked view forwards into one 4B pass
+    # (same math, one rng stream instead of per-view streams).
+    # Measured SLOWER on v5e at b16 (45.7 vs 56.8 pairs/s — the larger
+    # effective batch hits the same HBM-bound regime as b64); off by
+    # default, useful on larger-HBM parts.
+    fuse_moco_views: bool = False
     log_every_n_steps: int = 10
 
     # ---------------------------------------------------------------

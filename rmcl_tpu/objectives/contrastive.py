@@ -115,6 +115,7 @@ def compute_moco_contrastive(
     temperature: float = 0.07,
     momentum: float = 0.999,
     per_step_bs: int = 0,
+    fuse_views: bool = False,
 ):
     """One MoCo step (reference objectives.py:217-447), jittable.
 
@@ -154,6 +155,64 @@ def compute_moco_contrastive(
         attacked_img_batch = dict(batch, image=batch["image"] + img_delta)
         ret["pgd_delta"] = jnp.mean(
             jnp.linalg.norm(img_delta.astype(jnp.float32), axis=-1))
+
+    if fuse_views:
+        # ---- single 4B-view forward (MXU-efficiency fast path) ----
+        has_txt = text_view and attacked_text is not None
+        has_img = image_view and attacked_img_batch is not None
+        B = batch["text_ids"].shape[0]
+        ids_v = [batch["text_ids"]]
+        masks_v = [batch["text_masks"]]
+        imgs_v = [batch["image"]]
+        names = ["orig"]
+        if has_txt:
+            ids_v.append(attacked_text["text_ids"])
+            masks_v.append(attacked_text["text_masks"])
+            imgs_v.append(batch["image"])
+            names.append("txt")
+        if has_img:
+            ids_v.append(batch["text_ids"])
+            masks_v.append(batch["text_masks"])
+            imgs_v.append(attacked_img_batch["image"])
+            names.append("img")
+        if has_txt and has_img:
+            ids_v.append(attacked_text["text_ids"])
+            masks_v.append(attacked_text["text_masks"])
+            imgs_v.append(attacked_img_batch["image"])
+            names.append("both")
+        big = dict(batch,
+                   text_ids=jnp.concatenate(ids_v, 0),
+                   text_masks=jnp.concatenate(masks_v, 0),
+                   image=jnp.concatenate(imgs_v, 0))
+        infer_all = model.infer(new_params, big, rng=rngs[0],
+                                deterministic=not train)
+        q_all = l2_normalize(moco_head(new_params["moco_head"],
+                                       infer_all["cls_feats"]), axis=1)
+        k_rep = jnp.concatenate([k] * len(names), 0)
+        _, logits_all = infonce(q_all, k_rep, neg_queue, temperature)
+        preds = jnp.argmax(logits_all, -1).reshape(len(names), B)
+        per_view_loss = -jax.nn.log_softmax(
+            logits_all, axis=-1)[:, 0].reshape(len(names), B).mean(axis=1)
+
+        loss = 0.0
+        loss_num = 0
+        for vi, name in enumerate(names):
+            if name == "orig":
+                continue
+            q_v = q_all[vi * B:(vi + 1) * B]
+            ret[f"{'geom' if name == 'txt' else 'pgd' if name == 'img' else 'both'}_success_rate"] = jnp.mean(
+                (preds[vi] != preds[0]).astype(jnp.float32))
+            ret.update(_view_diagnostics(q_v, k, neg_queue, name))
+            ret[f"attacked_{name}_loss"] = per_view_loss[vi]
+            loss = loss + per_view_loss[vi]
+            loss_num += 1
+
+        new_state = dict(state)
+        if train:
+            new_state = dequeue_and_enqueue(new_state, k,
+                                            per_step_bs or k.shape[0])
+        ret["moco_loss"] = loss / max(loss_num, 1)
+        return ret, new_params, new_state
 
     if text_view and attacked_text is not None:
         tbatch = dict(batch, text_ids=attacked_text["text_ids"],

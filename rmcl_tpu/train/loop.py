@@ -37,7 +37,15 @@ from rmcl_tpu.train.step import (
 def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     db = {k: jnp.asarray(v) for k, v in batch.items()
           if isinstance(v, np.ndarray)}
-    return shard_batch(db, mesh) if mesh is not None else db
+    if mesh is None:
+        return db
+    if jax.process_count() > 1:
+        # each host holds only its shard of the global batch: assemble
+        # into global arrays (the multi-host replacement for the
+        # reference's DistributedSampler per-rank split)
+        from rmcl_tpu.parallel.mesh import host_local_to_global
+        return host_local_to_global(db, mesh)
+    return shard_batch(db, mesh)
 
 
 def build_greedy_attacker(cfg: RMCLConfig, model, tokenizer):

@@ -161,7 +161,8 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
             attacked_text=attacked_text,
             pgd_fn=_build_pgd(cfg, model, "moco") if cfg.image_view else None,
             temperature=cfg.temperature, momentum=cfg.momentum,
-            per_step_bs=batch["text_ids"].shape[0])
+            per_step_bs=batch["text_ids"].shape[0],
+            fuse_views=cfg.fuse_moco_views)
         ret.update(r)
     if "barlowtwins" in tasks:
         r, _, new_state = contrastive.compute_barlowtwins_contrastive(

@@ -208,3 +208,33 @@ def test_barlowtwins_step():
         params, state, b, jax.random.PRNGKey(1))
     assert np.isfinite(float(ret["barlowtwins_loss"]))
     assert "bt_bn_stats" in new_state
+
+
+def test_moco_fused_views_match_unfused():
+    """The 4B fused-view fast path must produce the same losses as the
+    per-view forwards (deterministic, dropout off)."""
+    cfg = _moco_cfg().replace(num_negative=8)
+    model = ViLTModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    b = {k: jnp.asarray(v) for k, v in make_fake_batch(cfg, batch=2).items()}
+    at = {"text_ids": jnp.roll(b["text_ids"], 1, axis=1),
+          "text_masks": b["text_masks"]}
+
+    def run(fuse):
+        return compute_moco_contrastive(
+            model, params, state, b, rng=jax.random.PRNGKey(1),
+            train=False, text_view=True, image_view=False,
+            attacked_text=at, temperature=cfg.temperature,
+            momentum=cfg.momentum, per_step_bs=2, fuse_views=fuse)
+
+    r0, _, _ = jax.jit(lambda: run(False))()
+    r1, _, _ = jax.jit(lambda: run(True))()
+    np.testing.assert_allclose(float(r0["moco_loss"]),
+                               float(r1["moco_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(r0["attacked_txt_loss"]),
+                               float(r1["attacked_txt_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(r0["geom_success_rate"]),
+                               float(r1["geom_success_rate"]), atol=1e-6)
+    np.testing.assert_allclose(float(r0["pos_cosine_attacked_txt"]),
+                               float(r1["pos_cosine_attacked_txt"]),
+                               rtol=1e-5)
