@@ -233,3 +233,41 @@ def test_torch_ckpt_file_loading(tmp_path):
     assert "transformer" in params and "pooler" in params
     k = np.asarray(params["transformer"]["blocks"]["attn"]["qkv"]["kernel"])
     assert k.shape == (cfg.num_layers, cfg.hidden_size, 3 * cfg.hidden_size)
+
+
+def test_golden_harness_roundtrip(tmp_path):
+    """save_golden from a torch forward -> compare_golden through the
+    converted params must pass; corrupted goldens must fail."""
+    from rmcl_tpu.compat.golden import compare_golden, load_golden, save_golden
+    from rmcl_tpu.models.vilt import ViLTModel
+
+    torch.manual_seed(3)
+    cfg = _cfg({"itm": 1})
+    tm = TorchViLT(cfg).eval()
+    r = np.random.RandomState(1)
+    img = r.uniform(0.1, 1.0, (2, 32, 32, 3)).astype(np.float32)
+    ids = r.randint(1, cfg.vocab_size, (2, cfg.max_text_len)).astype(np.int32)
+    masks = np.ones_like(ids)
+    with torch.no_grad():
+        feats, cls = tm(torch.tensor(ids, dtype=torch.long),
+                        torch.tensor(img).permute(0, 3, 1, 2))
+    T = cfg.max_text_len
+    path = str(tmp_path / "golden.npz")
+    save_golden(path,
+                {"image": img, "text_ids": ids, "text_masks": masks},
+                {"text_feats": feats[:, :T].numpy(),
+                 "image_feats": feats[:, T:].numpy(),
+                 "cls_feats": cls.numpy()},
+                meta={"note": "test"})
+
+    params, _ = convert_state_dict(dict(tm.state_dict()), cfg)
+    model = ViLTModel(cfg)
+    errs = compare_golden(path, model, params, atol=5e-4)
+    assert max(errs.values()) < 5e-4
+
+    # corrupt -> must raise
+    b, g = load_golden(path)
+    g["cls_feats"] = g["cls_feats"] + 1.0
+    save_golden(path, b, g)
+    with pytest.raises(AssertionError):
+        compare_golden(path, model, params, atol=5e-4)
