@@ -58,13 +58,22 @@ def resolve_max_steps(cfg: RMCLConfig, steps_per_epoch: int = 1000) -> int:
 
 def create_train_state(rng, cfg: RMCLConfig,
                        max_steps: Optional[int] = None,
-                       params=None, state=None):
-    """Returns (model, TrainState, tx)."""
+                       params=None, state=None, mesh=None):
+    """Returns (model, TrainState, tx).
+
+    With a mesh that has a ``model`` axis, parameters are laid out with
+    the Megatron tensor-parallel rules (parallel/sharding_rules.py);
+    optimizer state inherits the layout through ``tx.init``."""
     model = ViLTModel(cfg)
     if params is None:
         params, init_state = init_vilt(rng, cfg)
         state = init_state if state is None else state
     state = state or {}
+    if mesh is not None:
+        from rmcl_tpu.parallel.sharding_rules import apply_param_shardings
+        params = apply_param_shardings(params, mesh)
+        state = jax.tree.map(
+            lambda x: jax.device_put(x, replicated_sharding(mesh)), state)
     tx, _ = make_optimizer(cfg, params, max_steps or resolve_max_steps(cfg))
     ts = TrainState(params=params, opt_state=tx.init(params), state=state,
                     step=jnp.zeros((), jnp.int32))
@@ -207,7 +216,7 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
     for t in tasks:
         for k in _TASK_LOSS_KEYS.get(t, ()):
             if k in ret:
-                total = total + ret[k].astype(jnp.float32)
+                total = total + jnp.asarray(ret[k], jnp.float32)
     return total, ret, new_params, new_state
 
 
@@ -259,8 +268,18 @@ def make_train_step(cfg: RMCLConfig, model: ViLTModel,
         return new_ts, metrics
 
     if mesh is not None:
+        from rmcl_tpu.parallel.sharding_rules import MODEL_AXIS
         repl = replicated_sharding(mesh)
         bsh = batch_sharding(mesh)
+        if MODEL_AXIS in mesh.axis_names:
+            # tensor-parallel layout: TrainState keeps the shardings it
+            # was created with (None = inherit); XLA inserts the
+            # Megatron all-reduces from the param constraints
+            return jax.jit(
+                train_step,
+                in_shardings=(None, bsh, repl),
+                donate_argnums=(0,) if donate else (),
+            )
         return jax.jit(
             train_step,
             in_shardings=(repl, bsh, repl),
