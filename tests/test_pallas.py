@@ -1,0 +1,60 @@
+"""Pallas attention kernels in interpreter mode (CPU): forward + backward
+parity vs the XLA path.  Real-TPU compilation is exercised by bench.py
+(see .claude/skills/verify/SKILL.md)."""
+
+import os
+
+os.environ["RMCL_PALLAS_INTERPRET"] = "1"
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmcl_tpu.ops.attention import mha_xla
+from rmcl_tpu.ops.pallas_attention import flash_masked_attention
+
+
+@pytest.fixture(scope="module")
+def qkvm():
+    B, H, S, D = 2, 2, 37, 16
+    r = np.random.RandomState(0)
+    q = jnp.asarray(r.randn(B, H, S, D), jnp.float32)
+    k = jnp.asarray(r.randn(B, H, S, D), jnp.float32)
+    v = jnp.asarray(r.randn(B, H, S, D), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.3).astype(np.int32))
+    return q, k, v, mask, 16 ** -0.5
+
+
+def test_pallas_forward_matches_xla(qkvm):
+    q, k, v, mask, scale = qkvm
+    ours = flash_masked_attention(q, k, v, mask, scale)
+    ref = mha_xla(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=2e-5)
+
+
+def test_pallas_backward_matches_xla(qkvm):
+    q, k, v, mask, scale = qkvm
+
+    def lp(q, k, v):
+        return jnp.sum(jnp.sin(flash_masked_attention(q, k, v, mask, scale)))
+
+    def lx(q, k, v):
+        return jnp.sum(jnp.sin(mha_xla(q, k, v, mask, scale)))
+
+    gp = jax.grad(lp, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gp, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_pallas_padded_positions_ignored(qkvm):
+    """Key positions with mask==0 must not influence any output row."""
+    q, k, v, mask, scale = qkvm
+    out1 = flash_masked_attention(q, k, v, mask, scale)
+    v2 = jnp.where(mask[:, None, :, None] > 0, v, 123.0)  # poison pad keys
+    k2 = jnp.where(mask[:, None, :, None] > 0, k, -55.0)
+    out2 = flash_masked_attention(q, k2, v2, mask, scale)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=2e-5)
