@@ -118,7 +118,7 @@ class MultitaskDataModule:
         return self._loader("train", per_host_batch, True, True)
 
     def val_loader(self, per_host_batch: int) -> DataLoader:
-        return self._loader("val", per_host_batch, False, True)
+        return self._loader("val", per_host_batch, False, False)
 
     def test_loader(self, per_host_batch: int) -> DataLoader:
         return self._loader("test", per_host_batch, False, False)

@@ -71,16 +71,21 @@ class DataLoader:
             order = np.random.RandomState(self.seed + self.epoch).permutation(n)
         else:
             order = np.arange(n)
-        return order[self.process_index::self.process_count]
+        idx = order[self.process_index::self.process_count]
+        if not self.drop_last and len(idx) % self.batch_size:
+            # pad by wrap-around so every batch is full-size/static —
+            # the same repetition DistributedSampler applies to make the
+            # set divisible (reference multitask_datamodule.py:44-47)
+            pad = self.batch_size - len(idx) % self.batch_size
+            idx = np.concatenate([idx, idx[:pad]]) if len(idx) else idx
+        return idx
 
     def __len__(self) -> int:
-        n = len(self._indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        return len(self._indices()) // self.batch_size
 
     def _batches(self) -> Iterator[np.ndarray]:
         idx = self._indices()
-        end = (len(idx) // self.batch_size * self.batch_size
-               if self.drop_last else len(idx))
+        end = len(idx) // self.batch_size * self.batch_size
         for s in range(0, end, self.batch_size):
             yield idx[s:s + self.batch_size]
 
