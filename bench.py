@@ -64,6 +64,7 @@ def main():
         image_view=True, text_view=True,
         adv_steps_img=5, adv_lr_img=0.05, adv_max_norm_img=0.005,
         use_pallas_attention=on_tpu and PALLAS,
+        attention_impl=os.environ.get("BENCH_ATTN", ""),
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH,
         max_steps=200000,

@@ -148,6 +148,9 @@ class RMCLConfig:
     # underfills the MXU and XLA fuses the softmax chain already.  The
     # Pallas kernel stays available for long-sequence regimes.
     use_pallas_attention: bool = False
+    # explicit attention implementation: "" (derive from the flag above)
+    # | "xla" | "pallas" (rmcl kernel) | "flash" (jax library TPU kernel)
+    attention_impl: str = ""
     compute_dtype: str = "bfloat16"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -42,6 +42,7 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         use_pallas=cfg.use_pallas_attention,
         remat=cfg.remat_blocks,
         remat_policy=cfg.remat_policy,
+        attn_impl=cfg.attention_impl,
     )
 
 

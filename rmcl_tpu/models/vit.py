@@ -51,6 +51,8 @@ class ViTSpec(NamedTuple):
     use_pallas: bool = True
     remat: bool = False
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
+    attn_impl: str = ""         # "" -> derive from use_pallas; else
+                                # "xla" | "pallas" | "flash"
 
     @property
     def patch_dim(self) -> int:
@@ -251,7 +253,8 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
     k = qkv[:, :, 1].transpose(0, 2, 1, 3)
     v = qkv[:, :, 2].transpose(0, 2, 1, 3)
     attn = masked_attention(q, k, v, mask, D ** -0.5,
-                            use_pallas=spec.use_pallas)
+                            use_pallas=spec.use_pallas,
+                            impl=spec.attn_impl or None)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
     attn = L.linear(bp["attn"]["proj"], attn)
     attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic)

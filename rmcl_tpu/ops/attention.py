@@ -13,7 +13,7 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import jax.numpy as jnp
+import jax.numpy as jnp  # noqa: F401 (jnp used throughout)
 
 _NEG_INF = -1e30  # torch uses float('-inf'); finite sentinel avoids NaNs
                   # for fully-masked rows (cannot happen here: text has CLS)
@@ -31,14 +31,36 @@ def mha_xla(q, k, v, mask, scale: float):
     return out.astype(v.dtype)
 
 
+def mha_jax_flash(q, k, v, mask, scale: float):
+    """jax.experimental.pallas TPU flash kernel with segment-id masking:
+    pad keys get their own segment so no query attends to them.  Pad-row
+    OUTPUTS differ from the reference (zeros vs attend-to-valid), which
+    is safe: pad positions are masked as keys everywhere downstream and
+    their features are never read (SURVEY.md §3.2)."""
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds, flash_attention)
+    S = q.shape[2]
+    S_pad = (S + 127) // 128 * 128
+    if S_pad != S:
+        pad = [(0, 0), (0, 0), (0, S_pad - S), (0, 0)]
+        q, k, v = jnp.pad(q, pad), jnp.pad(k, pad), jnp.pad(v, pad)
+        mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+    seg = SegmentIds(q=jnp.ones_like(mask), kv=mask)
+    out = flash_attention(q, k, v, segment_ids=seg, sm_scale=scale)
+    return out[:, :, :S, :]
+
+
 def masked_attention(q, k, v, mask, scale: float,
                      use_pallas: bool = True,
+                     impl: Optional[str] = None,
                      return_probs: bool = False):
-    """Fused masked MHSA.
+    """Fused masked MHSA.  impl: "xla" | "pallas" (rmcl kernel) |
+    "flash" (jax library TPU kernel); `use_pallas` kept for backward
+    compat (maps to "pallas").
 
-    Falls back to XLA when Pallas is unavailable (CPU tests) or when the
-    attention probabilities are requested (demo heatmaps need them —
-    reference demo.py:96-151).
+    Falls back to XLA when not on TPU (CPU tests) or when the attention
+    probabilities are requested (demo heatmaps need them — reference
+    demo.py:96-151).
     """
     if return_probs:
         scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
@@ -48,7 +70,11 @@ def masked_attention(q, k, v, mask, scale: float,
         out = jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         return out, probs
-    if use_pallas and _pallas_ok():
+    if impl is None:
+        impl = "pallas" if use_pallas else "xla"
+    if impl != "xla" and _pallas_ok():
+        if impl == "flash":
+            return mha_jax_flash(q, k, v, mask, scale)
         from rmcl_tpu.ops.pallas_attention import flash_masked_attention
         return flash_masked_attention(q, k, v, mask, scale)
     return mha_xla(q, k, v, mask, scale)
