@@ -364,3 +364,24 @@ def tok_vocab_path(tok):
         with open(p, "w", encoding="utf-8") as f:
             f.write("\n".join(k for k, _ in inv) + "\n")
     return p
+
+
+def test_loader_eval_wraparound(arrow_dir, tok):
+    """drop_last=False pads the final batch by wrap-around (static shapes,
+    DistributedSampler-style repetition)."""
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok)
+    assert len(ds) == 12
+    coll = MLMCollator(tok, seed=0)
+
+    def cfn(samples):
+        return collate(samples, coll, bucket_hw=(64, 64))
+
+    l = DataLoader(ds, 5, cfn, shuffle=False, drop_last=False, num_workers=2)
+    batches = list(l)
+    assert len(batches) == 3              # ceil(12/5) with padding
+    assert all(b["text_ids"].shape == (5, 12) for b in batches)
+    l2 = DataLoader(ds, 5, cfn, shuffle=False, drop_last=True, num_workers=2)
+    assert len(list(l2)) == 2             # train mode still drops
