@@ -383,3 +383,27 @@ def export_state_dict(params: Dict[str, Any], state: Dict[str, Any],
         sd["proj_queue"] = _np(state["proj_queue"])
         sd["proj_queue_ptr"] = _np(state["proj_queue_ptr"]).reshape(1)
     return sd
+
+
+def load_timm_vit(sd: Dict[str, Any], cfg: RMCLConfig) -> Dict[str, Any]:
+    """Adapt a bare timm VisionTransformer state dict (keys like
+    `cls_token`, `blocks.0.attn.qkv.weight` — no `transformer.` prefix)
+    into rmcl_tpu transformer params.  Covers the reference's ImageNet
+    init path (timm load_pretrained + checkpoint_filter_fn, reference
+    vision_transformer.py:854-922): linear-format patch embeddings are
+    reshaped to conv layout first, pos-embed grids resized."""
+    sd = {k: _np(v) for k, v in sd.items()}
+    pe = sd.get("patch_embed.proj.weight")
+    if pe is not None and pe.ndim == 2:
+        # linear (C, P*P*3) -> conv (C, 3, P, P) (checkpoint_filter_fn :915)
+        C = pe.shape[0]
+        P = cfg.patch_size
+        sd["patch_embed.proj.weight"] = pe.reshape(C, 3, P, P)
+    prefixed = {f"transformer.{k}": v for k, v in sd.items()}
+    conv = _convert_transformer(prefixed, "transformer.", cfg.num_layers)
+    n_model = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    if conv["pos_embed"].shape[1] != n_model:
+        conv["pos_embed"] = resize_pos_embed(conv["pos_embed"], n_model - 1)
+    import jax
+    import jax.numpy as jnp
+    return jax.tree.map(jnp.asarray, conv)

@@ -125,6 +125,41 @@ class Trainer:
         self.steps_done = 0
 
     # ----------------------------------------------------------- assembly
+    def _load_initial(self, params, state):
+        """cfg.load_path handling (reference vilt_module.py:134-160
+        train / :256-268 test): torch .ckpt files are converted with
+        optional MLM/ITM head grafting from vilt_200k_mlm_itm; missing
+        modules keep their fresh init (load_state_dict(strict=False))."""
+        cfg = self.cfg
+        if not cfg.load_path:
+            return params, state
+        if os.path.isdir(cfg.load_path):      # orbax dir -> resume path
+            return params, state
+        from rmcl_tpu.compat import load_torch_checkpoint
+        pre = None
+        needs_graft = (cfg.loss_names.get("mlm", 0) > 0
+                       or cfg.loss_names.get("itm", 0) > 0)
+        for cand in ("models_weight/vilt_200k_mlm_itm.ckpt",
+                     "../models_weight/vilt_200k_mlm_itm.ckpt"):
+            if needs_graft and os.path.isfile(cand):
+                pre = cand
+                break
+        loaded_p, loaded_s = load_torch_checkpoint(
+            cfg.load_path, cfg, pretrain_head_path=pre)
+
+        def merge(init, loaded):
+            if isinstance(init, dict) and isinstance(loaded, dict):
+                out = dict(init)
+                for k, v in loaded.items():
+                    out[k] = merge(init[k], v) if k in init else v
+                return out
+            return loaded
+
+        print(f"[rmcl] loaded torch checkpoint {cfg.load_path} "
+              f"({len(loaded_p)} top-level modules"
+              f"{', heads grafted from ' + pre if pre else ''})")
+        return merge(params, loaded_p), merge(state, loaded_s)
+
     def setup(self, params=None, state=None):
         cfg = self.cfg
         self.dm.setup()
@@ -141,6 +176,10 @@ class Trainer:
         self.max_steps = resolve_max_steps(cfg, steps_per_epoch)
         self.steps_per_epoch = steps_per_epoch
 
+        if params is None and cfg.load_path:
+            from rmcl_tpu.models.vilt import init_vilt
+            params, state = init_vilt(jax.random.PRNGKey(cfg.seed), cfg)
+            params, state = self._load_initial(params, state)
         self.model, self.ts, self.tx = create_train_state(
             jax.random.PRNGKey(cfg.seed), cfg, max_steps=self.max_steps,
             params=params, state=state)

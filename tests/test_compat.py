@@ -271,3 +271,47 @@ def test_golden_harness_roundtrip(tmp_path):
     save_golden(path, b, g)
     with pytest.raises(AssertionError):
         compare_golden(path, model, params, atol=5e-4)
+
+
+def test_load_timm_vit_linear_and_conv_patch_embed():
+    from rmcl_tpu.compat.torch_loader import load_timm_vit
+
+    cfg = _cfg({"itm": 1})
+    C, P = cfg.hidden_size, cfg.patch_size
+    grid = cfg.image_size // P
+    sd = {}
+    rng = np.random.RandomState(0)
+    conv_w = rng.randn(C, 3, P, P).astype(np.float32)
+    sd["patch_embed.proj.weight"] = conv_w
+    sd["patch_embed.proj.bias"] = np.zeros(C, np.float32)
+    sd["cls_token"] = rng.randn(1, 1, C).astype(np.float32)
+    # timm ckpt from a DIFFERENT grid (e.g. 224/8=28 -> here 4): resize
+    sd["pos_embed"] = rng.randn(1, 50, C).astype(np.float32)
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}."
+        sd[b + "norm1.weight"] = np.ones(C, np.float32)
+        sd[b + "norm1.bias"] = np.zeros(C, np.float32)
+        sd[b + "attn.qkv.weight"] = rng.randn(3 * C, C).astype(np.float32)
+        sd[b + "attn.qkv.bias"] = np.zeros(3 * C, np.float32)
+        sd[b + "attn.proj.weight"] = rng.randn(C, C).astype(np.float32)
+        sd[b + "attn.proj.bias"] = np.zeros(C, np.float32)
+        sd[b + "norm2.weight"] = np.ones(C, np.float32)
+        sd[b + "norm2.bias"] = np.zeros(C, np.float32)
+        sd[b + "mlp.fc1.weight"] = rng.randn(4 * C, C).astype(np.float32)
+        sd[b + "mlp.fc1.bias"] = np.zeros(4 * C, np.float32)
+        sd[b + "mlp.fc2.weight"] = rng.randn(C, 4 * C).astype(np.float32)
+        sd[b + "mlp.fc2.bias"] = np.zeros(C, np.float32)
+    sd["norm.weight"] = np.ones(C, np.float32)
+    sd["norm.bias"] = np.zeros(C, np.float32)
+
+    conv = load_timm_vit(sd, cfg)
+    assert conv["pos_embed"].shape == (1, grid * grid + 1, C)
+    assert conv["patch_embed"]["proj"]["kernel"].shape == (P * P * 3, C)
+
+    # linear-format patch embed gives identical kernel after adaptation
+    sd2 = dict(sd)
+    sd2["patch_embed.proj.weight"] = conv_w.reshape(C, 3 * P * P)
+    conv2 = load_timm_vit(sd2, cfg)
+    np.testing.assert_allclose(
+        np.asarray(conv["patch_embed"]["proj"]["kernel"]),
+        np.asarray(conv2["patch_embed"]["proj"]["kernel"]))

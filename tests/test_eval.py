@@ -255,3 +255,43 @@ def test_vqa_test_submission_via_trainer(tmp_path):
     data = json.load(open(sub))
     assert {d["question_id"] for d in data} == {100, 101, 102, 103}
     assert all(d["answer"] in ("yes", "no", "unknown") for d in data)
+
+
+def test_trainer_load_path_torch_ckpt(tmp_path):
+    """cfg.load_path pointing at a torch .ckpt loads converted weights
+    (strict=False semantics: missing heads keep fresh init)."""
+    import torch
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_compat import TorchViLT, _cfg as _ccfg
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow), n=4)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    tcfg = _ccfg({"itm": 1}, max_text_len=12, image_size=32, patch_size=16,
+                 image_bucket_hw=(32, 48), vocab_size=64)
+    torch.manual_seed(0)
+    tm = TorchViLT(tcfg)
+    ckpt = str(tmp_path / "init.ckpt")
+    torch.save({"state_dict": tm.state_dict()}, ckpt)
+
+    cfg = tcfg.replace(
+        datasets=("coco",), data_root=str(arrow), load_path=ckpt,
+        num_layers=tcfg.num_layers, max_steps=2, warmup_steps=0,
+        batch_size=4, draw_false_image=1, num_workers=2,
+        fast_dev_run=True, log_dir=str(tmp_path / "out"),
+        loss_names=type(tcfg.loss_names)(
+            {**tcfg.loss_names, "itm": 1.0}))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    # loaded pooler kernel matches the torch checkpoint exactly
+    np.testing.assert_allclose(
+        np.asarray(tr.ts.params["pooler"]["dense"]["kernel"]),
+        tm.state_dict()["pooler.dense.weight"].numpy().T, rtol=1e-6)
+    # itm head was NOT in the ckpt -> fresh init present
+    assert "itm_score" in tr.ts.params
