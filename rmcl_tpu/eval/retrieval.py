@@ -113,18 +113,21 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     if attack_text_fn is not None:
         text_ids, text_masks = attack_text_fn(text_ids, text_masks)
 
-    # ---- 3. jitted pair scorer: one image's cached embeds vs a text chunk
+    # ---- 3. jitted pair scorer: one image's cached embeds vs a text
+    # chunk.  Params are explicit jit ARGUMENTS — closing over them can
+    # bake host-resident leaves into the HLO as constants (remote
+    # compile payload blow-up).
     spec = trainer.model.spec
 
     @jax.jit
-    def embed_image(img):
+    def embed_image(params, img):
         ie, im, _, _ = visual_embed(
             params["transformer"], img, spec=spec,
             max_image_len=cfg.max_image_len, dtype=dtype)
         return ie, im
 
     @jax.jit
-    def score_chunk(ie, im, ids, masks):
+    def score_chunk(params, ie, im, ids, masks):
         C = ids.shape[0]
         ieb = jnp.broadcast_to(ie, (C, *ie.shape[1:]))
         imb = jnp.broadcast_to(im, (C, im.shape[1]))
@@ -150,11 +153,11 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
         canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]
         if attack_image_fn is not None:
             canvas = np.asarray(attack_image_fn(canvas))
-        ie, im = embed_image(jnp.asarray(canvas))
+        ie, im = embed_image(params, jnp.asarray(canvas))
         for s, e in _chunked(n_txt_total, txt_chunk):
             ids = _pad_to(text_ids[s:e], txt_chunk)
             masks = _pad_to(text_masks[s:e], txt_chunk)
-            out = np.asarray(score_chunk(ie, im, jnp.asarray(ids),
+            out = np.asarray(score_chunk(params, ie, im, jnp.asarray(ids),
                                          jnp.asarray(masks)))
             scores[ii, s:e] = out[: e - s]
         if verbose and (ii + 1) % 50 == 0:
