@@ -61,8 +61,10 @@ def main():
         "task_moco",
         image_bucket_hw=(384, 576),
         max_image_len=200,
-        image_view=True, text_view=True,
-        adv_steps_img=5, adv_lr_img=0.05, adv_max_norm_img=0.005,
+        image_view=os.environ.get("BENCH_IMAGE_VIEW", "1") == "1",
+        text_view=os.environ.get("BENCH_TEXT_VIEW", "1") == "1",
+        adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
+        adv_lr_img=0.05, adv_max_norm_img=0.005,
         use_pallas_attention=on_tpu and PALLAS,
         attention_impl=os.environ.get("BENCH_ATTN", ""),
         compute_dtype="bfloat16" if on_tpu else "float32",

@@ -141,7 +141,12 @@ class RMCLConfig:
     precision: int = 16  # kept for parity; on TPU this selects bf16 compute
 
     # ----- TPU-native knobs (no reference counterpart) -----
-    image_bucket_hw: Tuple[int, int] = (384, 640)  # static pad canvas (H, W)
+    # static pad canvas (H, W).  MinMaxResize at size=384 caps the long
+    # side at int(1333/800*384)=639 -> //32*32 = 608, so (384, 608)
+    # holds every landscape image exactly; portrait images fit via the
+    # bucket shrink (use (608, 608) to reproduce reference sizing for
+    # both orientations).
+    image_bucket_hw: Tuple[int, int] = (384, 608)
     # measured on v5e at ViLT shapes (B32,H12,S256,D64): XLA's batched
     # attention GEMMs beat the fused Pallas kernel (748us vs 980us;
     # full RMCL step 50.6 vs 45.9 pairs/s) — the D=64 contraction

@@ -211,7 +211,7 @@ def compute_moco_contrastive(
         if train:
             new_state = dequeue_and_enqueue(new_state, k,
                                             per_step_bs or k.shape[0])
-        ret["moco_loss"] = loss / max(loss_num, 1)
+        ret["moco_loss"] = jnp.asarray(loss / max(loss_num, 1), jnp.float32)
         return ret, new_params, new_state
 
     if text_view and attacked_text is not None:
@@ -263,7 +263,7 @@ def compute_moco_contrastive(
     if train:
         new_state = dequeue_and_enqueue(new_state, k, per_step_bs or k.shape[0])
 
-    ret["moco_loss"] = loss / max(loss_num, 1)
+    ret["moco_loss"] = jnp.asarray(loss / max(loss_num, 1), jnp.float32)
     return ret, new_params, new_state
 
 
@@ -366,7 +366,8 @@ def compute_barlowtwins_contrastive(
         ret["pos_cosine_attacked_both"] = jnp.mean(cosine_similarity(q_both, k))
         ret["pos_dot_attacked_both"] = jnp.mean(jnp.sum(q_both * k, axis=1))
 
-    ret["barlowtwins_loss"] = loss / max(loss_num, 1)
+    ret["barlowtwins_loss"] = jnp.asarray(loss / max(loss_num, 1),
+                                          jnp.float32)
 
     new_state = dict(state)
     if train:
