@@ -67,6 +67,7 @@ def main():
         adv_lr_img=0.05, adv_max_norm_img=0.005,
         use_pallas_attention=on_tpu and PALLAS,
         attention_impl=os.environ.get("BENCH_ATTN", ""),
+        image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH,
         max_steps=200000,

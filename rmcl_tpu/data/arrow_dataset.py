@@ -191,11 +191,26 @@ def _canvas_shape(imgs: Sequence[np.ndarray],
     return (max(i.shape[0] for i in imgs), max(i.shape[1] for i in imgs))
 
 
+def hwc_to_patch_rows(canvas: np.ndarray, patch_size: int) -> np.ndarray:
+    """(B, H, W, 3) -> (B, gh*gw, P*P*3) rows, (ph, pw, ch) flat order —
+    host-side relayout into the TPU-native patch-row format."""
+    B, H, W, _ = canvas.shape
+    P = patch_size
+    gh, gw = H // P, W // P
+    x = canvas.reshape(B, gh, P, gw, P, 3)
+    return np.ascontiguousarray(
+        x.transpose(0, 1, 3, 2, 4, 5)).reshape(B, gh * gw, P * P * 3)
+
+
 def collate(batch: List[Dict[str, Any]], mlm_collator,
-            bucket_hw: Optional[Tuple[int, int]] = None) -> Dict[str, Any]:
+            bucket_hw: Optional[Tuple[int, int]] = None,
+            image_layout: str = "hwc",
+            patch_size: int = 32) -> Dict[str, Any]:
     """Batch dict with every image key padded to the static canvas and
     text keys expanded to *_ids / *_labels / *_ids_mlm / *_labels_mlm /
-    *_masks (reference base_dataset.py:167-245)."""
+    *_masks (reference base_dataset.py:167-245).  With
+    image_layout="patch" the canvas is re-laid out into patch rows on
+    host (see rmcl_tpu/models/vit.py visual_embed)."""
     B = len(batch)
     keys = {k for b in batch for k in b}
     out: Dict[str, Any] = {
@@ -213,6 +228,8 @@ def collate(batch: List[Dict[str, Any]], mlm_collator,
             for bi, im in enumerate(imgs):
                 h, w = im.shape[:2]
                 canvas[bi, :h, :w] = im[:H, :W]
+            if image_layout == "patch":
+                canvas = hwc_to_patch_rows(canvas, patch_size)
             stacked.append(canvas)
         # single-transform fast path: plain array (model API takes one view)
         out[k] = stacked[0] if n_views == 1 else stacked

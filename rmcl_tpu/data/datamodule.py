@@ -97,7 +97,9 @@ class MultitaskDataModule:
     # ---------------------------------------------------------- collate
     def collate(self, batch: List[Dict[str, Any]]) -> Dict[str, Any]:
         out = base_collate(batch, self.mlm_collator,
-                           bucket_hw=self.cfg.image_bucket_hw)
+                           bucket_hw=self.cfg.image_bucket_hw,
+                           image_layout=self.cfg.image_layout,
+                           patch_size=self.cfg.patch_size)
         if batch and "vqa_labels" in batch[0]:
             vqa_collate_extras(batch, out, self.cfg.vqav2_label_size)
         if batch and "table_name" in batch[0]:

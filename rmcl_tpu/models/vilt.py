@@ -155,7 +155,8 @@ def infer(params, batch, *, cfg: RMCLConfig, spec: Optional[ViTSpec] = None,
         image_embeds, image_masks, patch_index, image_labels = visual_embed(
             tr, img, spec=spec, max_image_len=cfg.max_image_len,
             mask_it=mask_image, rng=rngs[1], deterministic=deterministic,
-            dtype=dtype)
+            dtype=dtype,
+            grid_hw=cfg.grid_hw if img.ndim == 3 else None)
     else:
         patch_index, image_labels = None, None
         image_embeds = image_embeds.astype(dtype)

@@ -104,14 +104,26 @@ def init_vit(key, spec: ViTSpec) -> Dict[str, Any]:
 
 # ------------------------------------------------------------- patchify
 def patchify(params, img, dtype=jnp.bfloat16):
-    """img: (B, H, W, 3) -> (B, gh*gw, C).  One MXU matmul."""
+    """img: (B, H, W, 3) -> (B, gh*gw, C) as one einsum contraction over
+    the (P, P, 3) patch window (the reference's Conv2d(P, stride=P),
+    vision_transformer.py:378-408).
+
+    Formulation measured on v5e at (16, 384, 576, 3) fwd+bwd-to-pixels
+    (the PGD inner loop's hot path): einsum lets XLA plan the
+    space-to-depth layout; lax.conv_general_dilated is catastrophically
+    slow backward here (409 ms) and an explicit 6-D transpose + matmul
+    costs 7.4 ms."""
     B, H, W, _ = img.shape
-    P = int(round((params["proj"]["kernel"].shape[0] / 3) ** 0.5))
+    K = params["proj"]["kernel"]
+    P = int(round((K.shape[0] / 3) ** 0.5))
+    C = K.shape[1]
     gh, gw = H // P, W // P
-    x = img.reshape(B, gh, P, gw, P, 3)
-    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
-    x = x.astype(dtype) @ params["proj"]["kernel"].astype(dtype)
-    return x + params["proj"]["bias"].astype(dtype)
+    x = img.reshape(B, gh, P, gw, P, 3).astype(dtype)
+    kernel = K.reshape(P, P, 3, C).astype(dtype)
+    x = jnp.einsum("bhpwqc,pqcd->bhwd", x, kernel,
+                   preferred_element_type=dtype)
+    return (x.reshape(B, gh * gw, C)
+            + params["proj"]["bias"].astype(dtype))
 
 
 # ----------------------------------------------- pos-embed interpolation
@@ -144,20 +156,33 @@ def resample_pos_embed(spatial_pos, h, w, gh: int, gw: int):
 
 
 # ------------------------------------------------------------ mask_tokens
+def to_patch_rows(img, patch_size: int):
+    """(B, H, W, 3) -> (B, gh*gw, P*P*3) rows in (ph, pw, ch) flat order."""
+    B, H, W, _ = img.shape
+    P = patch_size
+    gh, gw = H // P, W // P
+    x = img.reshape(B, gh, P, gw, P, 3)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, gh * gw, P * P * 3)
+
+
+def patch_mean_rgb(rows):
+    """(B, N, P*P*3) -> per-patch mean RGB (B, N, 3)."""
+    B, N, F = rows.shape
+    return rows.reshape(B, N, F // 3, 3).mean(axis=2)
+
+
 def mask_tokens(rng, img, feats, mask_token, patch_size: int,
                 mask_prob: float = 0.15, replace_prob: float = 0.8):
     """MPP masking (reference vision_transformer.py:525-557).
 
     Labels = per-patch mean RGB of the unnormalised image, 256-binned per
     channel; non-masked positions -100; 80% of masked patches get the
-    learned mask token.
-    """
-    B, H, W, _ = img.shape
-    P = patch_size
-    gh, gw = H // P, W // P
-    img_unnorm = img * 0.5 + 0.5
-    pm = img_unnorm.reshape(B, gh, P, gw, P, 3).mean(axis=(2, 4))
-    labels = jnp.clip((pm * 255).astype(jnp.int32), 0, 255).reshape(B, gh * gw, 3)
+    learned mask token.  `img` may be (B, H, W, 3) or patch rows
+    (B, N, P*P*3)."""
+    rows = img if img.ndim == 3 else to_patch_rows(img, patch_size)
+    pm = patch_mean_rgb(rows * 0.5 + 0.5)
+    B = rows.shape[0]
+    labels = jnp.clip((pm * 255).astype(jnp.int32), 0, 255)
 
     k1, k2 = jax.random.split(rng)
     masked = jax.random.bernoulli(k1, mask_prob, labels.shape[:-1])
@@ -171,21 +196,34 @@ def mask_tokens(rng, img, feats, mask_token, patch_size: int,
 # ------------------------------------------------------------ visual embed
 def visual_embed(params, img, *, spec: ViTSpec, max_image_len: int = -1,
                  mask_it: bool = False, rng=None, deterministic: bool = True,
-                 dtype=jnp.bfloat16):
-    """img: (B, H, W, 3) zero-padded top-left.  Static output shapes.
+                 dtype=jnp.bfloat16, grid_hw=None):
+    """img: (B, H, W, 3) canvas zero-padded top-left, OR pre-patchified
+    rows (B, N, P*P*3) with `grid_hw=(gh, gw)` — the TPU-native layout:
+    the channels-last pixel canvas has a 3-wide minor dim that wastes
+    125/128 lanes on every elementwise op (the PGD inner loop lives in
+    image space), while patch rows put 3072 in the lane dim and make
+    patchify a single MXU matmul with no 6-D transpose.
 
     Returns (x (B, L+1, C), x_mask (B, L+1) int32,
              (patch_index (B, L, 2), (gh, gw)), labels or None).
     """
-    B, H, W, _ = img.shape
     P = spec.patch_size
-    gh, gw = H // P, W // P
-    N = gh * gw
-
-    x = patchify(params["patch_embed"], img, dtype=dtype)       # (B, N, C)
-
-    pix_valid = jnp.sum(img, axis=-1) != 0                      # (B, H, W)
-    m = pix_valid[:, ::P, ::P]                                  # (B, gh, gw)
+    if img.ndim == 3:                       # patch rows
+        assert grid_hw is not None, "patch-row layout needs grid_hw"
+        gh, gw = grid_hw
+        B, N, _ = img.shape
+        K = params["patch_embed"]["proj"]
+        x = (img.astype(dtype) @ K["kernel"].astype(dtype)
+             + K["bias"].astype(dtype))
+        # top-left pixel of each patch = flat elements 0..2 (ph=pw=0)
+        m = (jnp.sum(img[:, :, :3], axis=-1) != 0).reshape(B, gh, gw)
+    else:
+        B, H, W, _ = img.shape
+        gh, gw = H // P, W // P
+        N = gh * gw
+        x = patchify(params["patch_embed"], img, dtype=dtype)   # (B, N, C)
+        pix_valid = jnp.sum(img, axis=-1) != 0                  # (B, H, W)
+        m = pix_valid[:, ::P, ::P]                              # (B, gh, gw)
     x_h = m[:, :, 0].sum(axis=1)                                # (B,)
     x_w = m[:, 0, :].sum(axis=1)
 

@@ -64,8 +64,8 @@ def compute_itm_wpa(model, params, batch, *, rng, train: bool = False,
                             jnp.zeros((B - pos_len,), jnp.int32)])
     itm_labels = jax.random.permutation(k_perm, base)
 
-    img = jnp.where(itm_labels[:, None, None, None] == 1,
-                    batch["image"], batch["false_image_0"])
+    sel = itm_labels.reshape((-1,) + (1,) * (batch["image"].ndim - 1))
+    img = jnp.where(sel == 1, batch["image"], batch["false_image_0"])
     mixed = dict(batch)
     mixed["image"] = img
 
@@ -110,15 +110,17 @@ def compute_itm_wpa(model, params, batch, *, rng, train: bool = False,
 
 
 # ------------------------------------------- MPPD / MPFR (reference-dormant)
-def _gather_patch_targets(img, patch_index, patch_size: int):
+def _gather_patch_targets(img, patch_index, patch_size: int,
+                          gw: int = None):
     """Per-selected-patch flat pixel vectors: (B, L, P*P*3) gathered by
-    the (h, w) grid coords visual_embed kept."""
-    B, H, W, _ = img.shape
-    P = patch_size
-    gh, gw = H // P, W // P
-    patches = img.reshape(B, gh, P, gw, P, 3)
-    patches = patches.transpose(0, 1, 3, 2, 4, 5).reshape(
-        B, gh * gw, P * P * 3)
+    the (h, w) grid coords visual_embed kept.  `img` may be a pixel
+    canvas or patch rows."""
+    from rmcl_tpu.models.vit import to_patch_rows
+    if img.ndim == 3:
+        patches = img
+    else:
+        patches = to_patch_rows(img, patch_size)
+        gw = img.shape[2] // patch_size
     flat = patch_index[..., 0] * gw + patch_index[..., 1]      # (B, L)
     return jnp.take_along_axis(patches, flat[..., None], axis=1)
 
@@ -134,7 +136,8 @@ def compute_mppd(model, params, batch, *, rng, train: bool = False):
 
     patch_index, _ = infer["patch_index"]
     P = model.spec.patch_size
-    targets = _gather_patch_targets(batch["image"], patch_index, P)
+    targets = _gather_patch_targets(batch["image"], patch_index, P,
+                                    gw=model.cfg.grid_hw[1])
     logits = mppd_head(params["mppd_score"], infer["image_feats"][:, 1:])
 
     masked = jnp.any(infer["image_labels"][:, 1:] != -100, axis=-1)
@@ -154,9 +157,16 @@ def compute_mpfr(model, params, batch, *, rng, train: bool = False):
     infer = model.infer(params, batch, mask_text=False, mask_image=True,
                         rng=rng, deterministic=not train)
     patch_index, _ = infer["patch_index"]
-    gw = batch["image"].shape[2] // model.spec.patch_size
-    clean = patchify(params["transformer"]["patch_embed"], batch["image"],
-                     dtype=jnp.float32)                      # (B, N, C)
+    img = batch["image"]
+    if img.ndim == 3:                       # patch-row layout
+        gw = model.cfg.grid_hw[1]
+        K = params["transformer"]["patch_embed"]["proj"]
+        clean = (img.astype(jnp.float32) @ K["kernel"].astype(jnp.float32)
+                 + K["bias"].astype(jnp.float32))
+    else:
+        gw = img.shape[2] // model.spec.patch_size
+        clean = patchify(params["transformer"]["patch_embed"], img,
+                         dtype=jnp.float32)                  # (B, N, C)
     flat = patch_index[..., 0] * gw + patch_index[..., 1]
     targets = jax.lax.stop_gradient(
         jnp.take_along_axis(clean, flat[..., None], axis=1))

@@ -223,3 +223,40 @@ def test_patchify_matches_torch_conv(rng):
         torch.tensor(bias), stride=P)
     theirs = conv.flatten(2).transpose(1, 2).numpy()  # (B, N, C)
     np.testing.assert_allclose(np.array(ours), theirs, atol=1e-4)
+
+
+def test_patch_row_layout_matches_hwc(tiny_cfg, rng):
+    """The TPU-native patch-row image layout must produce IDENTICAL
+    features to the pixel canvas (it's a pure host relayout)."""
+    from rmcl_tpu.data.arrow_dataset import hwc_to_patch_rows
+    from tests.conftest import make_fake_batch
+
+    cfg = tiny_cfg
+    model = ViLTModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(0))
+    b = make_fake_batch(cfg, batch=2)
+    batch_hwc = {k: jnp.asarray(v) for k, v in b.items()}
+    rows = hwc_to_patch_rows(b["image"], cfg.patch_size)
+    assert rows.shape == (2, cfg.num_patches, cfg.patch_size ** 2 * 3)
+    batch_rows = dict(batch_hwc, image=jnp.asarray(rows))
+
+    o1 = model.infer(params, batch_hwc, deterministic=True)
+    o2 = model.infer(params, batch_rows, deterministic=True)
+    np.testing.assert_allclose(np.asarray(o1["cls_feats"]),
+                               np.asarray(o2["cls_feats"]), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(o1["image_feats"]),
+                               np.asarray(o2["image_feats"]), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o1["image_masks"]),
+                                  np.asarray(o2["image_masks"]))
+
+    # MPP labels identical across layouts too
+    from rmcl_tpu.models.vit import visual_embed
+    _, _, _, lab1 = visual_embed(
+        params["transformer"], batch_hwc["image"], spec=model.spec,
+        max_image_len=-1, mask_it=True, rng=jax.random.PRNGKey(3),
+        deterministic=True, dtype=jnp.float32)
+    _, _, _, lab2 = visual_embed(
+        params["transformer"], batch_rows["image"], spec=model.spec,
+        max_image_len=-1, mask_it=True, rng=jax.random.PRNGKey(3),
+        deterministic=True, dtype=jnp.float32, grid_hw=cfg.grid_hw)
+    np.testing.assert_array_equal(np.asarray(lab1), np.asarray(lab2))
