@@ -218,7 +218,9 @@ def test_multitask_datamodule_vqa(arrow_dir, tok, tmp_path):
     assert dm.id2answer[0] == "yes"
     loader = dm.train_loader(per_host_batch=2)
     batch = next(iter(loader))
-    assert batch["image"].shape == (2, 64, 64, 3)
+    # default image_layout="patch": (B, gh*gw, P*P*3) rows
+    gh, gw = 64 // cfg.patch_size, 64 // cfg.patch_size
+    assert batch["image"].shape == (2, gh * gw, cfg.patch_size ** 2 * 3)
     assert batch["vqa_targets"].shape == (2, 5)
 
 
