@@ -295,3 +295,40 @@ def test_trainer_load_path_torch_ckpt(tmp_path):
         tm.state_dict()["pooler.dense.weight"].numpy().T, rtol=1e-6)
     # itm head was NOT in the ckpt -> fresh init present
     assert "itm_score" in tr.ts.params
+
+
+def test_attacked_irtr_recall_e2e(tmp_path):
+    """Attacked recall: PGD-perturbed images actually get ranked."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.eval.retrieval import (
+        compute_attacked_irtr_recall, compute_irtr_recall)
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow), n=3)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    cfg = build_config(
+        "task_finetune_irtr_coco_randaug_attacked",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=2, warmup_steps=0, batch_size=4,
+        draw_false_text=2, num_workers=2, max_image_len=-1,
+        adv_steps_img=1, loss_names=loss_names({"irtr_attacked": 1,
+                                                "irtr": 1}),
+        text_view=False, image_view=True,
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    tr.greedy = None
+    clean = compute_irtr_recall(tr, split="test", txt_chunk=4,
+                                verbose=False)
+    attacked = compute_attacked_irtr_recall(
+        tr, split="test", txt_chunk=4, verbose=False,
+        text_view=False, image_view=True, max_texts=None)
+    assert len(attacked) == 6
+    assert all(0.0 <= x <= 1.0 for x in attacked)
