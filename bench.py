@@ -59,6 +59,7 @@ def main():
     on_tpu = dev.platform == "tpu"
     cfg = build_config(
         "task_moco",
+        num_negative=int(os.environ.get("BENCH_QUEUE", "65536")),
         image_bucket_hw=(384, 576),
         max_image_len=200,
         image_view=os.environ.get("BENCH_IMAGE_VIEW", "1") == "1",
