@@ -111,49 +111,45 @@ class MetricBag:
 
     # -------------------------------------------------------------- update
     def update(self, ret: Dict[str, np.ndarray]):
+        """Accepts both eval-step rets (with logits) and train-step rets
+        (scalars only — the jitted train step strips arrays; objectives
+        emit in-graph `*_step_accuracy` scalars for those)."""
         ln = self.loss_names
+        # losses accumulate from their scalar whenever present
+        for key, metric in self.metrics.items():
+            if key.endswith("_loss") and key in ret:
+                metric.update(ret[key])
+        if "vqa_attacked_loss" in self.metrics and "vqa_loss" in ret:
+            # the attacked-VQA objective reuses the `vqa_loss` key
+            self.metrics["vqa_attacked_loss"].update(ret["vqa_loss"])
         if ln.get("mlm", 0) >= 1 and "mlm_logits" in ret:
-            self.metrics["mlm_loss"].update(ret["mlm_loss"])
             self.metrics["mlm_accuracy"].update(ret["mlm_logits"],
                                                 ret["mlm_labels"])
         if ln.get("mpp", 0) >= 1 and "mpp_logits" in ret:
-            self.metrics["mpp_loss"].update(ret["mpp_loss"])
             self.metrics["mpp_accuracy"].update(
                 np.asarray(ret["mpp_logits"]).reshape(-1, 256),
                 np.asarray(ret["mpp_labels"]).reshape(-1))
         if ln.get("itm", 0) >= 1 and "itm_logits" in ret:
-            self.metrics["itm_loss"].update(ret["itm_loss"])
             self.metrics["itm_accuracy"].update(ret["itm_logits"],
                                                 ret["itm_labels"])
         if (ln.get("vqa", 0) >= 1 or ln.get("vqa_attacked", 0) >= 1) \
                 and "vqa_logits" in ret:
-            key = "vqa_loss" if "vqa_loss" in self.metrics else "vqa_attacked_loss"
-            self.metrics[key].update(ret["vqa_loss"])
             self.metrics["vqa_score"].update(ret["vqa_logits"],
                                              ret["vqa_targets"])
         if ln.get("nlvr2", 0) >= 1 and "nlvr2_logits" in ret:
-            self.metrics["nlvr2_loss"].update(ret["nlvr2_loss"])
             self.metrics["nlvr2_accuracy"].update(ret["nlvr2_logits"],
                                                   ret["nlvr2_labels"])
         if ln.get("nlvr2_attacked", 0) >= 1 and "nlvr2_attacked_logits" in ret:
-            self.metrics["nlvr2_attacked_loss"].update(
-                ret["nlvr2_attacked_loss"])
             self.metrics["nlvr2_attacked_accuracy"].update(
                 ret["nlvr2_attacked_logits"], ret["nlvr2_labels"])
         if ln.get("irtr", 0) >= 1 and "irtr_logits" in ret:
-            self.metrics["irtr_loss"].update(ret["irtr_loss"])
             self.metrics["irtr_accuracy"].update(ret["irtr_logits"],
                                                  ret["irtr_labels"])
         if ln.get("irtr_attacked", 0) >= 1 and "irtr_attacked_logits" in ret:
-            self.metrics["irtr_attacked_loss"].update(
-                ret["irtr_attacked_loss"])
             self.metrics["irtr_attacked_accuracy"].update(
                 ret["irtr_attacked_logits"], ret["irtr_labels"])
-        if ln.get("moco", 0) >= 1 and "moco_loss" in ret:
-            self.metrics["moco_loss"].update(ret["moco_loss"])
-        if ln.get("barlowtwins", 0) >= 1 and "barlowtwins_loss" in ret:
-            self.metrics["barlowtwins_loss"].update(ret["barlowtwins_loss"])
-        # free-form scalar telemetry (pgd_delta, success rates, distances)
+        # free-form scalar telemetry (pgd_delta, success rates,
+        # in-graph *_step_accuracy, distances)
         for k, v in ret.items():
             arr = np.asarray(v)
             if arr.ndim == 0 and k not in self.metrics:

@@ -61,6 +61,14 @@ def dequeue_and_enqueue(state: Dict[str, Any], keys, per_step_bs: int):
         return state  # reference :242-243 skip rule (static under jit)
     queue, ptr = state["proj_queue"], state["proj_queue_ptr"]
     K = queue.shape[1]
+    if K % B != 0:
+        # the reference asserts this too (objectives.py:241 `assert
+        # self.K % batch_size == 0`); without it dynamic_update_slice
+        # would CLAMP the start index at wraparound while ptr advances
+        # mod K, silently desyncing queue contents from the pointer.
+        raise ValueError(
+            f"num_negative ({K}) must be divisible by the global batch "
+            f"({B}) — reference queue invariant")
     new_queue = jax.lax.dynamic_update_slice(
         queue, keys.T.astype(queue.dtype), (0, ptr))
     new_ptr = jnp.mod(ptr + B, K).astype(ptr.dtype)
@@ -138,14 +146,6 @@ def compute_moco_contrastive(
 
     neg_queue = jax.lax.stop_gradient(state["proj_queue"])
 
-    # ---- clean query ----
-    infer_q = model.infer(new_params, batch, rng=rngs[0],
-                          deterministic=not train)
-    q_orig = l2_normalize(moco_head(new_params["moco_head"],
-                                    infer_q["cls_feats"]), axis=1)
-    _, logits0 = infonce(q_orig, k, neg_queue, temperature)
-    pred_orig = jnp.argmax(logits0, axis=-1)
-
     loss = 0.0
     loss_num = 0
 
@@ -213,6 +213,15 @@ def compute_moco_contrastive(
                                             per_step_bs or k.shape[0])
         ret["moco_loss"] = jnp.asarray(loss / max(loss_num, 1), jnp.float32)
         return ret, new_params, new_state
+
+    # ---- clean query (unfused path; the fused branch recomputes it
+    # inside its 4B forward, so it lives here to avoid dead tracing) ----
+    infer_q = model.infer(new_params, batch, rng=rngs[0],
+                          deterministic=not train)
+    q_orig = l2_normalize(moco_head(new_params["moco_head"],
+                                    infer_q["cls_feats"]), axis=1)
+    _, logits0 = infonce(q_orig, k, neg_queue, temperature)
+    pred_orig = jnp.argmax(logits0, axis=-1)
 
     if text_view and attacked_text is not None:
         tbatch = dict(batch, text_ids=attacked_text["text_ids"],
@@ -297,14 +306,20 @@ def compute_barlowtwins_contrastive(
 ):
     """Barlow-Twins step (reference objectives.py:449-602), jittable.
     Returns (ret_dict, params, new_state)."""
+    from rmcl_tpu.train.step import _merge_stats
+
     ret: Dict[str, Any] = {}
     rngs = jax.random.split(rng, 4)
     B = batch["text_ids"].shape[0]
     psb = per_step_bs or B
 
+    # BN running stats CHAIN through the per-step head calls (the
+    # reference's torch BN updates in sequence: key, text, image, both)
+    bt_params = params["barlowtwins_head"]
     infer0 = model.infer(params, batch, deterministic=True)
-    k, bn_stats = barlowtwins_head(params["barlowtwins_head"],
-                                   infer0["cls_feats"], training=train)
+    k, stats = barlowtwins_head(bt_params, infer0["cls_feats"],
+                                training=train)
+    bt_params = _merge_stats(bt_params, stats)
     k = jax.lax.stop_gradient(k)
 
     loss = 0.0
@@ -320,9 +335,9 @@ def compute_barlowtwins_contrastive(
                       text_masks=attacked_text["text_masks"])
         infer_t = model.infer(params, tbatch, rng=rngs[0],
                               deterministic=not train)
-        q_text, bn_stats = barlowtwins_head(params["barlowtwins_head"],
-                                            infer_t["cls_feats"],
-                                            training=train)
+        q_text, stats = barlowtwins_head(bt_params, infer_t["cls_feats"],
+                                         training=train)
+        bt_params = _merge_stats(bt_params, stats)
         l, on, off = bt_correlation_loss(q_text, k, psb, adv_lr)
         loss, loss_num = loss + l, loss_num + 1
         ret["barlowtwins_loss_invariance_text"] = on
@@ -335,9 +350,9 @@ def compute_barlowtwins_contrastive(
     if image_view and attacked_img_batch is not None:
         infer_i = model.infer(params, attacked_img_batch, rng=rngs[1],
                               deterministic=not train)
-        q_img, bn_stats = barlowtwins_head(params["barlowtwins_head"],
-                                           infer_i["cls_feats"],
-                                           training=train)
+        q_img, stats = barlowtwins_head(bt_params, infer_i["cls_feats"],
+                                        training=train)
+        bt_params = _merge_stats(bt_params, stats)
         l, on, off = bt_correlation_loss(q_img, k, psb, adv_lr)
         loss, loss_num = loss + l, loss_num + 1
         ret["barlowtwins_loss_invariance_img"] = on
@@ -354,9 +369,9 @@ def compute_barlowtwins_contrastive(
                       text_masks=attacked_text["text_masks"])
         infer_b = model.infer(params, bbatch, rng=rngs[2],
                               deterministic=not train)
-        q_both, bn_stats = barlowtwins_head(params["barlowtwins_head"],
-                                            infer_b["cls_feats"],
-                                            training=train)
+        q_both, stats = barlowtwins_head(bt_params, infer_b["cls_feats"],
+                                         training=train)
+        bt_params = _merge_stats(bt_params, stats)
         l, on, off = bt_correlation_loss(q_both, k, psb, adv_lr)
         loss, loss_num = loss + l, loss_num + 1
         ret["barlowtwins_loss_invariance_both"] = on
@@ -371,5 +386,15 @@ def compute_barlowtwins_contrastive(
 
     new_state = dict(state)
     if train:
-        new_state["bt_bn_stats"] = bn_stats
+        # fully-chained running stats (all per-step BN updates applied)
+        new_state["bt_bn_stats"] = jax.lax.stop_gradient({
+            "projector": {
+                "1": {kk: bt_params["projector"]["1"][kk]
+                      for kk in ("running_mean", "running_var")},
+                "4": {kk: bt_params["projector"]["4"][kk]
+                      for kk in ("running_mean", "running_var")},
+            },
+            "norm": {kk: bt_params["norm"][kk]
+                     for kk in ("running_mean", "running_var")},
+        })
     return ret, params, new_state

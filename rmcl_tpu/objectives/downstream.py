@@ -38,7 +38,10 @@ def compute_vqa(model, params, batch, *, rng=None, train: bool = False):
     logits = vqa_classifier(params["vqa_classifier"], infer["cls_feats"])
     targets = batch["vqa_targets"]
     loss = bce_with_logits(logits, targets) * targets.shape[1]
-    return {"vqa_loss": loss, "vqa_logits": logits, "vqa_targets": targets}
+    score = jnp.mean(jnp.take_along_axis(
+        targets, jnp.argmax(logits, -1)[:, None], axis=1)[:, 0])
+    return {"vqa_loss": loss, "vqa_logits": logits, "vqa_targets": targets,
+            "vqa_step_score": score}
 
 
 def compute_vqa_attack(model, params, batch, *, rng=None, train: bool = False,
@@ -79,6 +82,8 @@ def compute_nlvr2(model, params, batch, *, rng=None, train: bool = False):
         "nlvr2_loss": cross_entropy(logits, labels),
         "nlvr2_logits": logits,
         "nlvr2_labels": labels,
+        "nlvr2_step_accuracy": jnp.mean(
+            (jnp.argmax(logits, -1) == labels).astype(jnp.float32)),
     }
 
 
@@ -159,7 +164,9 @@ def compute_irtr(model, params, batch, *, rng=None, train: bool = False,
         false_len, rng, train)
     answer = jnp.zeros((score.shape[0],), jnp.int32)
     return {"irtr_loss": cross_entropy(score, answer),
-            "irtr_logits": score, "irtr_labels": answer}
+            "irtr_logits": score, "irtr_labels": answer,
+            "irtr_step_accuracy": jnp.mean(
+                (jnp.argmax(score, -1) == 0).astype(jnp.float32))}
 
 
 def compute_irtr_attacked(model, params, batch, *, rng=None,

@@ -22,11 +22,15 @@ def compute_mlm(model, params, batch, *, rng=None, train: bool = False):
     labels = infer["text_labels"]
     loss = cross_entropy(logits.reshape(-1, logits.shape[-1]),
                          labels.reshape(-1))
+    valid = labels != -100
+    correct = (jnp.argmax(logits, -1) == labels) & valid
     return {
         "mlm_loss": loss,
         "mlm_logits": logits,
         "mlm_labels": labels,
         "mlm_ids": infer["text_ids"],
+        "mlm_step_accuracy": jnp.sum(correct) / jnp.maximum(
+            jnp.sum(valid), 1),
     }
 
 
@@ -106,6 +110,8 @@ def compute_itm_wpa(model, params, batch, *, rng, train: bool = False,
         "itm_wpa_loss": 0.1 * ot_loss,
         "itm_logits": logits,
         "itm_labels": itm_labels,
+        "itm_step_accuracy": jnp.mean(
+            (jnp.argmax(logits, -1) == itm_labels).astype(jnp.float32)),
     }
 
 

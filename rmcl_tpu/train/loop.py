@@ -133,8 +133,14 @@ class Trainer:
         cfg = self.cfg
         if not cfg.load_path:
             return params, state
-        if os.path.isdir(cfg.load_path):      # orbax dir -> resume path
-            return params, state
+        if os.path.isdir(cfg.load_path):
+            # orbax checkpoint dir (written by CheckpointManager):
+            # restore params/state into the fresh-init template
+            import orbax.checkpoint as ocp
+            restored = ocp.StandardCheckpointer().restore(
+                os.path.abspath(cfg.load_path))
+            print(f"[rmcl] restored orbax checkpoint {cfg.load_path}")
+            return restored["params"], restored.get("state", state)
         from rmcl_tpu.compat import load_torch_checkpoint
         pre = None
         needs_graft = (cfg.loss_names.get("mlm", 0) > 0
@@ -202,19 +208,26 @@ class Trainer:
             self.workdir, enabled=jax.process_index() == 0)
 
     # ------------------------------------------------------------- attack
-    def _attach_text_attack(self, db: Dict[str, Any]) -> Dict[str, Any]:
+    def _attach_text_attack(self, batch: Dict[str, Any],
+                            bag: Optional[MetricBag] = None
+                            ) -> Dict[str, Any]:
+        """Runs on the HOST-LOCAL numpy batch (before any multi-host
+        globalization — the attacker reads values with np.asarray)."""
         if self.greedy is None:
-            return db
+            return batch
+        db = {k: jnp.asarray(v) for k, v in batch.items()
+              if isinstance(v, np.ndarray)}
         extras = _greedy_extras(self.cfg, self.model, self.ts, db)
         out = self.greedy.adv_attack_samples(self.ts.params, db, extras)
-        db = dict(db,
-                  attacked_text_ids=jnp.asarray(out["txt_input_ids"]),
-                  attacked_text_masks=jnp.asarray(out["text_masks"]))
-        self.train_metrics.extra.setdefault(
-            "num_changes", Scalar()).update(out["num_changes"])
-        self.train_metrics.extra.setdefault(
-            "change_rate", Scalar()).update(out["change_rate"])
-        return db
+        batch = dict(batch,
+                     attacked_text_ids=np.asarray(out["txt_input_ids"]),
+                     attacked_text_masks=np.asarray(out["text_masks"]))
+        bag = bag if bag is not None else self.train_metrics
+        bag.extra.setdefault("num_changes", Scalar()).update(
+            out["num_changes"])
+        bag.extra.setdefault("change_rate", Scalar()).update(
+            out["change_rate"])
+        return batch
 
     # --------------------------------------------------------------- run
     def fit(self, max_steps_override: Optional[int] = None,
@@ -231,8 +244,8 @@ class Trainer:
             for batch in loader:
                 if self.steps_done >= limit:
                     break
+                batch = self._attach_text_attack(batch)
                 db = _device_batch(batch, self.mesh)
-                db = self._attach_text_attack(db)
                 rng, sub = jax.random.split(rng)
                 self.ts, metrics = self.step_fn(self.ts, db, sub)
                 self.steps_done += 1
@@ -251,7 +264,8 @@ class Trainer:
                     break
             tm = self.train_metrics.epoch_wrapup("train")
             vm = self.validate()
-            self.logger.log(self.steps_done, {**tm, **vm})
+            self.logger.log(self.steps_done, tm, prefix="train_epoch/")
+            self.logger.log(self.steps_done, vm, prefix="val_epoch/")
             print(f"[epoch {epoch}] train_the_metric="
                   f"{tm.get('train/the_metric', 0):.4f} "
                   f"val_the_metric={vm.get('val/the_metric', 0):.4f}",
@@ -288,6 +302,10 @@ class Trainer:
         for i, batch in enumerate(loader):
             if max_batches is not None and i >= max_batches:
                 break
+            # the reference evaluates WITH the adversarial views (its
+            # validation_step runs the same compute_* path incl.
+            # compute_geometric, objectives.py:277-285)
+            batch = self._attach_text_attack(batch, bag=bag)
             db = _device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)
@@ -309,7 +327,17 @@ class Trainer:
                 print(f"[vqa] submission written to {path}", flush=True)
 
         recall = None
-        if cfg.get_recall_metric and split != "val":
-            from rmcl_tpu.eval.retrieval import compute_irtr_recall
-            recall = compute_irtr_recall(self)
+        if cfg.get_recall_metric and not cfg.fast_dev_run:
+            # reference epoch_wrapup computes recall on EVERY validation
+            # epoch (vilt_utils.py:90-96) and dispatches to the attacked
+            # variant when irtr_attacked is active (:91-94)
+            if cfg.loss_names.get("irtr_attacked", 0) >= 1:
+                from rmcl_tpu.eval.retrieval import (
+                    compute_attacked_irtr_recall)
+                recall = compute_attacked_irtr_recall(
+                    self, text_view=cfg.text_view,
+                    image_view=cfg.image_view)
+            else:
+                from rmcl_tpu.eval.retrieval import compute_irtr_recall
+                recall = compute_irtr_recall(self)
         return bag.epoch_wrapup(split, recall=recall)

@@ -332,3 +332,51 @@ def test_attacked_irtr_recall_e2e(tmp_path):
         text_view=False, image_view=True, max_texts=None)
     assert len(attacked) == 6
     assert all(0.0 <= x <= 1.0 for x in attacked)
+
+
+def test_trainer_load_path_orbax_dir(tmp_path):
+    """load_path pointing at an orbax dir restores trained params."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow))
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    cfg = build_config(
+        "task_mlm_itm",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=2, warmup_steps=0, batch_size=4,
+        draw_false_image=1, num_workers=2, fast_dev_run=True,
+        max_image_len=-1, log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    tr.fit()
+    trained = np.asarray(tr.ts.params["pooler"]["dense"]["kernel"])
+
+    ckpt_dir = os.path.join(tr.workdir, "last")
+    cfg2 = cfg.replace(load_path=ckpt_dir, test_only=True)
+    tr2 = Trainer(cfg2, workdir=str(tmp_path / "out2"), vocab_path=vocab,
+                  use_mesh=False)
+    tr2.setup()
+    np.testing.assert_allclose(
+        np.asarray(tr2.ts.params["pooler"]["dense"]["kernel"]), trained)
+
+
+def test_train_metrics_accumulate_from_scalars():
+    """Train-step rets (scalars only) must still feed the metric bag."""
+    bag = MetricBag(loss_names({"mlm": 1, "itm": 1}))
+    bag.update({"mlm_loss": np.float32(2.0), "itm_loss": np.float32(0.5),
+                "itm_wpa_loss": np.float32(0.01),
+                "mlm_step_accuracy": np.float32(0.25),
+                "itm_step_accuracy": np.float32(0.75)})
+    out = bag.epoch_wrapup("train")
+    assert out["mlm_loss"] == 2.0
+    assert out["itm_loss"] == 0.5
+    assert out["mlm_step_accuracy"] == 0.25
+    assert out["itm_step_accuracy"] == 0.75
