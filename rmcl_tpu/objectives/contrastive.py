@@ -124,6 +124,7 @@ def compute_moco_contrastive(
     momentum: float = 0.999,
     per_step_bs: int = 0,
     fuse_views: bool = False,
+    attacked_image=None,
 ):
     """One MoCo step (reference objectives.py:217-447), jittable.
 
@@ -150,7 +151,11 @@ def compute_moco_contrastive(
     loss_num = 0
 
     attacked_img_batch = None
-    if image_view and pgd_fn is not None:
+    if image_view and attacked_image is not None:
+        # benign augmented view (reference objectives.py:320-321:
+        # augmentation=True swaps image_augmentation for compute_pgd)
+        attacked_img_batch = dict(batch, image=attacked_image)
+    elif image_view and pgd_fn is not None:
         img_delta = pgd_fn(new_params, batch, k, neg_queue)
         attacked_img_batch = dict(batch, image=batch["image"] + img_delta)
         ret["pgd_delta"] = jnp.mean(
@@ -303,6 +308,7 @@ def compute_barlowtwins_contrastive(
     pgd_fn=None,
     adv_lr: float = 0.0051,
     per_step_bs: int = 0,
+    attacked_image=None,
 ):
     """Barlow-Twins step (reference objectives.py:449-602), jittable.
     Returns (ret_dict, params, new_state)."""
@@ -326,7 +332,9 @@ def compute_barlowtwins_contrastive(
     loss_num = 0
 
     attacked_img_batch = None
-    if image_view and pgd_fn is not None:
+    if image_view and attacked_image is not None:
+        attacked_img_batch = dict(batch, image=attacked_image)
+    elif image_view and pgd_fn is not None:
         img_delta = pgd_fn(params, batch, k, None)
         attacked_img_batch = dict(batch, image=batch["image"] + img_delta)
 

@@ -199,9 +199,24 @@ class Trainer:
             self.ts = self.ckpt.restore(self.ts, "last")
             self.steps_done = int(self.ts.step)
 
-        self.greedy = (build_greedy_attacker(cfg, self.model,
-                                             self.dm.tokenizer)
-                       if cfg.text_view else None)
+        self.greedy = None
+        self.text_augment = None
+        self.image_augment = None
+        if cfg.augmentation:
+            # benign views replace the attacks (reference
+            # objectives.py:277-279, 320-321)
+            from rmcl_tpu.data.augmentation import (
+                ImageAugmentation, TextAugmentation)
+            if cfg.text_view:
+                self.text_augment = TextAugmentation(cfg, self.dm.tokenizer)
+            if cfg.image_view:
+                self.image_augment = ImageAugmentation(
+                    self.dm.datasets["train"]["concat"].datasets[0],
+                    size=cfg.image_size)
+        elif cfg.text_view:
+            self.greedy = build_greedy_attacker(cfg, self.model,
+                                                self.dm.tokenizer)
+        self.epoch = 0
         self.train_metrics = MetricBag(cfg.loss_names)
         self.val_metrics = MetricBag(cfg.loss_names)
         self.logger = MetricLogger(
@@ -213,8 +228,22 @@ class Trainer:
                             ) -> Dict[str, Any]:
         """Runs on the HOST-LOCAL numpy batch (before any multi-host
         globalization — the attacker reads values with np.asarray)."""
+        # --- benign augmented views (augmentation=True) ---
+        if self.text_augment is not None and "text" in batch:
+            _, ids, masks = self.text_augment.augment(batch["text"],
+                                                      epoch=self.epoch)
+            batch = dict(batch, attacked_text_ids=ids,
+                         attacked_text_masks=masks)
+        if self.image_augment is not None and "img_index" in batch:
+            aug = self.image_augment.augment_indices(
+                batch["img_index"], self.cfg.image_bucket_hw)
+            if self.cfg.image_layout == "patch":
+                from rmcl_tpu.data.arrow_dataset import hwc_to_patch_rows
+                aug = hwc_to_patch_rows(aug, self.cfg.patch_size)
+            batch = dict(batch, augmented_image=aug)
         if self.greedy is None:
             return batch
+        # --- adversarial text view (greedy word substitution) ---
         db = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
         extras = _greedy_extras(self.cfg, self.model, self.ts, db)
@@ -239,6 +268,7 @@ class Trainer:
         epoch = 0
         t0 = time.time()
         while self.steps_done < limit and epoch < cfg.max_epoch:
+            self.epoch = epoch
             loader = self.dm.train_loader(self.per_host_batch)
             loader.set_epoch(epoch)
             for batch in loader:

@@ -163,15 +163,18 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
     if "itm" in tasks:
         ret.update(pretrain.compute_itm_wpa(model, params, batch,
                                             rng=rngs["itm"], train=train))
+    aug_image = batch.get("augmented_image") if cfg.augmentation else None
     if "moco" in tasks:
         r, new_params, new_state = contrastive.compute_moco_contrastive(
             model, params, state, batch, rng=rngs["moco"], train=train,
             text_view=cfg.text_view, image_view=cfg.image_view,
             attacked_text=attacked_text,
-            pgd_fn=_build_pgd(cfg, model, "moco") if cfg.image_view else None,
+            pgd_fn=(_build_pgd(cfg, model, "moco")
+                    if cfg.image_view and not cfg.augmentation else None),
             temperature=cfg.temperature, momentum=cfg.momentum,
             per_step_bs=batch["text_ids"].shape[0],
-            fuse_views=cfg.fuse_moco_views)
+            fuse_views=cfg.fuse_moco_views,
+            attacked_image=aug_image)
         ret.update(r)
     if "barlowtwins" in tasks:
         r, _, new_state = contrastive.compute_barlowtwins_contrastive(
@@ -179,8 +182,9 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
             train=train, text_view=cfg.text_view, image_view=cfg.image_view,
             attacked_text=attacked_text,
             pgd_fn=(_build_pgd(cfg, model, "barlowtwins")
-                    if cfg.image_view else None),
-            adv_lr=cfg.adv_lr, per_step_bs=batch["text_ids"].shape[0])
+                    if cfg.image_view and not cfg.augmentation else None),
+            adv_lr=cfg.adv_lr, per_step_bs=batch["text_ids"].shape[0],
+            attacked_image=aug_image)
         ret.update(r)
     if "vqa" in tasks:
         ret.update(downstream.compute_vqa(model, params, batch,

@@ -380,3 +380,39 @@ def test_train_metrics_accumulate_from_scalars():
     assert out["itm_loss"] == 0.5
     assert out["mlm_step_accuracy"] == 0.25
     assert out["itm_step_accuracy"] == 0.75
+
+
+def test_trainer_benign_augmentation_moco(tmp_path):
+    """augmentation=True swaps the attacks for EDA text + SimCLR image
+    views (reference objectives.py:277-279, 320-321)."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow))
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the", "in", "a"])
+
+    cfg = build_config(
+        "task_moco",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, num_negative=8, use_pallas_attention=False,
+        compute_dtype="float32", drop_rate=0.0, max_steps=2,
+        warmup_steps=0, batch_size=4, num_workers=2, fast_dev_run=True,
+        max_image_len=-1, augmentation=True, text_view=True,
+        image_view=True, type_txt_augm=("EDA",),
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    assert tr.text_augment is not None and tr.image_augment is not None
+    assert tr.greedy is None
+    ts = tr.fit()
+    assert int(ts.step) >= 1
+    # benign views feed real losses
+    tm_keys = set(tr.val_metrics.metrics) | set(tr.val_metrics.extra)
+    vm = tr.validate()
+    assert np.isfinite(vm["moco_loss"])
+    assert "attacked_txt_loss" in vm and "attacked_img_loss" in vm
