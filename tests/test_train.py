@@ -235,3 +235,48 @@ def test_tensor_parallel_step_4x2():
     _, m_dp = step_dp(ts2, b2, jax.random.PRNGKey(1))
     np.testing.assert_allclose(float(m_tp["total_loss"]),
                                float(m_dp["total_loss"]), rtol=1e-4)
+
+
+def test_train_step_nlvr2_attacked_pgd_8dev():
+    """Attacked NLVR2 finetune step: two-image PGD with attack_idx gating,
+    clean+attacked CE summed (fixes the reference's crashing train
+    branch), sharded over 8 devices."""
+    assert jax.device_count() >= 8
+    cfg = _tiny({"nlvr2_attacked": 1}, image_view=True,
+                adv_steps_img=2, adv_lr_img=0.05, adv_max_norm_img=0.005,
+                attack_idx=(True, False), warmup_steps=0)
+    mesh = make_mesh(jax.devices()[:8])
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["image_0"] = batch.pop("image")
+    batch["image_1"] = jnp.asarray(make_fake_batch(cfg, batch=8, seed=3)["image"])
+    batch["answers"] = jnp.asarray(np.arange(8) % 2, jnp.int32)
+    batch = shard_batch(batch, mesh)
+
+    ts1, m = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["nlvr2_original_loss"]))
+    assert np.isfinite(float(m["nlvr2_attacked_loss"]))
+    assert float(m["pgd_delta"]) > 0
+    assert float(m["total_loss"]) == pytest.approx(
+        float(m["nlvr2_original_loss"]) + float(m["nlvr2_attacked_loss"]),
+        rel=1e-5)
+
+
+def test_train_step_vqa_attacked_pgd():
+    cfg = _tiny({"vqa_attacked": 1}, vqav2_label_size=7, image_view=True,
+                adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+                warmup_steps=0)
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, donate=False)
+    b = make_fake_batch(cfg, batch=2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    t = np.zeros((2, 7), np.float32)
+    t[0, 1] = 1.0
+    t[1, 2] = 0.9
+    batch["vqa_targets"] = jnp.asarray(t)
+    ts1, m = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["vqa_loss"]))
+    assert int(ts1.step) == 1
