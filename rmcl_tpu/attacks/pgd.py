@@ -177,14 +177,18 @@ def make_pgd_irtr(model, adv_steps: int, adv_lr: float, max_norm: float,
                   temperature: float):
     """IRTR PGD.  The reference variant (PGDAttack_irtr :364-415)
     references an undefined `text_representation` and cannot run
-    (SURVEY.md §2.5); this is the repaired semantics: ascend the InfoNCE
-    loss of the moco-projected joint cls against the per-batch text
-    projections (each sample's own projection is the positive)."""
+    (SURVEY.md §2.5); this is the repaired semantics: push the
+    moco-projected joint cls AWAY from its own text projection and
+    TOWARD the other in-batch text projections.  The denominator uses
+    negatives only — with the positive included, the batch=1 case
+    (attacked-recall's per-image loop) collapses to a constant-zero
+    softmax whose gradient is identically zero (no attack at all)."""
 
     def attack(params, batch, text_repr):
         frozen = jax.lax.stop_gradient(params)
         text_repr = jax.lax.stop_gradient(text_repr)  # (B, C) normalised
         img = batch["image"]
+        B = text_repr.shape[0]
 
         def loss_of(delta):
             b = dict(batch, image=img + delta)
@@ -193,8 +197,12 @@ def make_pgd_irtr(model, adv_steps: int, adv_lr: float, max_norm: float,
                                        infer["cls_feats"]), axis=1)
             logits = (q.astype(jnp.float32)
                       @ text_repr.T.astype(jnp.float32)) / temperature
-            labels = jnp.arange(q.shape[0])
-            return cross_entropy(logits, labels) / adv_steps
+            l_pos = jnp.diagonal(logits)
+            loss = -jnp.mean(l_pos)
+            if B > 1:  # static under jit
+                neg = jnp.where(jnp.eye(B, dtype=bool), -jnp.inf, logits)
+                loss = loss + jnp.mean(jax.nn.logsumexp(neg, axis=1))
+            return loss / adv_steps
 
         return _pgd_loop(loss_of, img.shape, img.dtype,
                          adv_steps, adv_lr, max_norm)

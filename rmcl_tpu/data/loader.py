@@ -65,45 +65,54 @@ class DataLoader:
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
-    def _indices(self) -> np.ndarray:
+    def _indices(self):
         n = len(self.dataset)
         if self.shuffle:
             order = np.random.RandomState(self.seed + self.epoch).permutation(n)
         else:
             order = np.arange(n)
         idx = order[self.process_index::self.process_count]
+        n_real = len(idx)
         if not self.drop_last and len(idx) % self.batch_size:
             # pad by wrap-around so every batch is full-size/static —
             # the same repetition DistributedSampler applies to make the
             # set divisible (reference multitask_datamodule.py:44-47)
             pad = self.batch_size - len(idx) % self.batch_size
             idx = np.concatenate([idx, idx[:pad]]) if len(idx) else idx
-        return idx
+        return idx, n_real
 
     def __len__(self) -> int:
-        return len(self._indices()) // self.batch_size
+        idx, _ = self._indices()
+        return len(idx) // self.batch_size
 
     def _batches(self) -> Iterator[np.ndarray]:
-        idx = self._indices()
+        idx, n_real = self._indices()
         end = len(idx) // self.batch_size * self.batch_size
         for s in range(0, end, self.batch_size):
-            yield idx[s:s + self.batch_size]
+            # validity mask so wrap-around rows are evaluated but never
+            # counted (the reference's DistributedSampler evaluates each
+            # sample exactly once per process)
+            valid = np.arange(s, s + self.batch_size) < n_real
+            yield idx[s:s + self.batch_size], valid
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
-        def make_batch(bidx):
+        def make_batch(bidx, valid):
             samples = list(pool.map(self.dataset.__getitem__, bidx))
-            return self.collate_fn(samples)
+            batch = self.collate_fn(samples)
+            # host-only metadata (underscore keys stay off-device)
+            batch["_valid"] = valid
+            return batch
 
         def producer():
             try:
-                for bidx in self._batches():
+                for bidx, valid in self._batches():
                     if stop.is_set():
                         return
-                    out_q.put(make_batch(bidx))
+                    out_q.put(make_batch(bidx, valid))
             finally:
                 out_q.put(None)
 

@@ -110,44 +110,65 @@ class MetricBag:
         self.extra: Dict[str, Scalar] = {}
 
     # -------------------------------------------------------------- update
-    def update(self, ret: Dict[str, np.ndarray]):
+    def update(self, ret: Dict[str, np.ndarray], valid=None):
         """Accepts both eval-step rets (with logits) and train-step rets
         (scalars only — the jitted train step strips arrays; objectives
-        emit in-graph `*_step_accuracy` scalars for those)."""
+        emit in-graph `*_step_accuracy` scalars for those).
+
+        `valid` (bool [B]) masks wrap-around padding rows the static-shape
+        val/test loader appends (data/loader.py): per-sample metrics drop
+        masked rows; batch-mean loss scalars are weighted by the valid
+        fraction."""
         ln = self.loss_names
+        w = 1.0
+        if valid is not None:
+            valid = np.asarray(valid, bool)
+            if valid.all():
+                valid = None
+            else:
+                w = float(valid.mean())
+
+        def rows(key):
+            a = np.asarray(ret[key])
+            if valid is not None and a.ndim >= 1 \
+                    and a.shape[0] == valid.shape[0]:
+                return a[valid]
+            return a
+
         # losses accumulate from their scalar whenever present
         for key, metric in self.metrics.items():
             if key.endswith("_loss") and key in ret:
-                metric.update(ret[key])
+                metric.update(ret[key], weight=w)
         if "vqa_attacked_loss" in self.metrics and "vqa_loss" in ret:
             # the attacked-VQA objective reuses the `vqa_loss` key
-            self.metrics["vqa_attacked_loss"].update(ret["vqa_loss"])
+            self.metrics["vqa_attacked_loss"].update(ret["vqa_loss"],
+                                                     weight=w)
         if ln.get("mlm", 0) >= 1 and "mlm_logits" in ret:
-            self.metrics["mlm_accuracy"].update(ret["mlm_logits"],
-                                                ret["mlm_labels"])
+            self.metrics["mlm_accuracy"].update(rows("mlm_logits"),
+                                                rows("mlm_labels"))
         if ln.get("mpp", 0) >= 1 and "mpp_logits" in ret:
             self.metrics["mpp_accuracy"].update(
-                np.asarray(ret["mpp_logits"]).reshape(-1, 256),
-                np.asarray(ret["mpp_labels"]).reshape(-1))
+                rows("mpp_logits").reshape(-1, 256),
+                rows("mpp_labels").reshape(-1))
         if ln.get("itm", 0) >= 1 and "itm_logits" in ret:
-            self.metrics["itm_accuracy"].update(ret["itm_logits"],
-                                                ret["itm_labels"])
+            self.metrics["itm_accuracy"].update(rows("itm_logits"),
+                                                rows("itm_labels"))
         if (ln.get("vqa", 0) >= 1 or ln.get("vqa_attacked", 0) >= 1) \
                 and "vqa_logits" in ret:
-            self.metrics["vqa_score"].update(ret["vqa_logits"],
-                                             ret["vqa_targets"])
+            self.metrics["vqa_score"].update(rows("vqa_logits"),
+                                             rows("vqa_targets"))
         if ln.get("nlvr2", 0) >= 1 and "nlvr2_logits" in ret:
-            self.metrics["nlvr2_accuracy"].update(ret["nlvr2_logits"],
-                                                  ret["nlvr2_labels"])
+            self.metrics["nlvr2_accuracy"].update(rows("nlvr2_logits"),
+                                                  rows("nlvr2_labels"))
         if ln.get("nlvr2_attacked", 0) >= 1 and "nlvr2_attacked_logits" in ret:
             self.metrics["nlvr2_attacked_accuracy"].update(
-                ret["nlvr2_attacked_logits"], ret["nlvr2_labels"])
+                rows("nlvr2_attacked_logits"), rows("nlvr2_labels"))
         if ln.get("irtr", 0) >= 1 and "irtr_logits" in ret:
-            self.metrics["irtr_accuracy"].update(ret["irtr_logits"],
-                                                 ret["irtr_labels"])
+            self.metrics["irtr_accuracy"].update(rows("irtr_logits"),
+                                                 rows("irtr_labels"))
         if ln.get("irtr_attacked", 0) >= 1 and "irtr_attacked_logits" in ret:
             self.metrics["irtr_attacked_accuracy"].update(
-                ret["irtr_attacked_logits"], ret["irtr_labels"])
+                rows("irtr_attacked_logits"), rows("irtr_labels"))
         # free-form scalar telemetry (pgd_delta, success rates,
         # in-graph *_step_accuracy, distances)
         for k, v in ret.items():

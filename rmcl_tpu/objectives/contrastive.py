@@ -125,8 +125,13 @@ def compute_moco_contrastive(
     per_step_bs: int = 0,
     fuse_views: bool = False,
     attacked_image=None,
+    augmentation: bool = False,
 ):
     """One MoCo step (reference objectives.py:217-447), jittable.
+
+    `augmentation=True` (benign views) disables the combined text+image
+    "both" view — the reference gates it on `not pl_module.augmentation`
+    (objectives.py:356).
 
     `attacked_text`: {"text_ids", "text_masks"} produced on host by the
     greedy attack (or augmentation); None disables the text view even if
@@ -180,7 +185,7 @@ def compute_moco_contrastive(
             masks_v.append(batch["text_masks"])
             imgs_v.append(attacked_img_batch["image"])
             names.append("img")
-        if has_txt and has_img:
+        if has_txt and has_img and not augmentation:
             ids_v.append(attacked_text["text_ids"])
             masks_v.append(attacked_text["text_masks"])
             imgs_v.append(attacked_img_batch["image"])
@@ -256,8 +261,8 @@ def compute_moco_contrastive(
         loss = loss + l_img
         loss_num += 1
 
-    if text_view and image_view and attacked_text is not None \
-            and attacked_img_batch is not None:
+    if text_view and image_view and not augmentation \
+            and attacked_text is not None and attacked_img_batch is not None:
         bbatch = dict(attacked_img_batch,
                       text_ids=attacked_text["text_ids"],
                       text_masks=attacked_text["text_masks"])
@@ -309,8 +314,11 @@ def compute_barlowtwins_contrastive(
     adv_lr: float = 0.0051,
     per_step_bs: int = 0,
     attacked_image=None,
+    augmentation: bool = False,
 ):
     """Barlow-Twins step (reference objectives.py:449-602), jittable.
+    `augmentation=True` disables the "both" view (reference gates it on
+    `not pl_module.augmentation`, objectives.py:525).
     Returns (ret_dict, params, new_state)."""
     from rmcl_tpu.train.step import _merge_stats
 
@@ -370,8 +378,8 @@ def compute_barlowtwins_contrastive(
         ret["pos_cosine_attacked_img"] = jnp.mean(cosine_similarity(q_img, k))
         ret["pos_dot_attacked_img"] = jnp.mean(jnp.sum(q_img * k, axis=1))
 
-    if text_view and image_view and attacked_text is not None \
-            and attacked_img_batch is not None:
+    if text_view and image_view and not augmentation \
+            and attacked_text is not None and attacked_img_batch is not None:
         bbatch = dict(attacked_img_batch,
                       text_ids=attacked_text["text_ids"],
                       text_masks=attacked_text["text_masks"])

@@ -139,7 +139,9 @@ def _irtr_scores(model, params, batch, head_fn, false_len: int, rng, train):
 
     ie, im, _, _ = visual_embed(
         params["transformer"], img, spec=model.spec,
-        max_image_len=model.cfg.max_image_len, dtype=jnp.dtype(model.cfg.compute_dtype))
+        max_image_len=model.cfg.max_image_len,
+        dtype=jnp.dtype(model.cfg.compute_dtype),
+        grid_hw=model.cfg.grid_hw if img.ndim == 3 else None)
     L = ie.shape[1]
     ie = jnp.broadcast_to(ie[:, None], (B, F1, L, ie.shape[-1])).reshape(
         B * F1, L, ie.shape[-1])

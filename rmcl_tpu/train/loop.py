@@ -36,7 +36,7 @@ from rmcl_tpu.train.step import (
 
 def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     db = {k: jnp.asarray(v) for k, v in batch.items()
-          if isinstance(v, np.ndarray)}
+          if isinstance(v, np.ndarray) and not k.startswith("_")}
     if mesh is None:
         return db
     if jax.process_count() > 1:
@@ -85,8 +85,14 @@ def _greedy_extras(cfg: RMCLConfig, model, ts: TrainState, batch):
     from rmcl_tpu.objectives.losses import l2_normalize
     tasks = active_tasks(cfg)
     if "moco" in tasks:
-        infer_k = model.infer_k(ts.params, batch, deterministic=True)
-        k = l2_normalize(moco_head(ts.params["k_moco_head"],
+        # the reference runs compute_geometric AFTER the momentum update
+        # (objectives.py:256-265 then :277-285), so the attacker must see
+        # the post-EMA key encoder — apply the same update the jitted
+        # step will perform (one tree_map; the step recomputes it in-graph)
+        from rmcl_tpu.objectives.contrastive import momentum_update
+        p = momentum_update(ts.params, cfg.momentum)
+        infer_k = model.infer_k(p, batch, deterministic=True)
+        k = l2_normalize(moco_head(p["k_moco_head"],
                                    infer_k["cls_feats"]), axis=1)
         return (jax.lax.stop_gradient(k), ts.state["proj_queue"],
                 cfg.temperature)
@@ -265,7 +271,10 @@ class Trainer:
         limit = max_steps_override or self.max_steps
         log_every = log_every or cfg.log_every_n_steps
         rng = jax.random.PRNGKey(cfg.seed + 1)
-        epoch = 0
+        # on resume_from, restart at the epoch the restored step sits in
+        # so the shuffle order / augmentation epoch state don't replay
+        # epoch 0 and the epoch budget isn't extended
+        epoch = self.steps_done // max(self.steps_per_epoch, 1)
         t0 = time.time()
         while self.steps_done < limit and epoch < cfg.max_epoch:
             self.epoch = epoch
@@ -339,11 +348,16 @@ class Trainer:
             db = _device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)
+            valid = batch.get("_valid")
             bag.update({k: np.asarray(v) for k, v in ret.items()
-                        if hasattr(v, "ndim")})
+                        if hasattr(v, "ndim")}, valid=valid)
             if vqa_writer is not None and "qid" in batch:
-                vqa_writer.update(batch["qid"],
-                                  np.asarray(ret["vqa_logits"]))
+                qids = list(batch["qid"])
+                logits = np.asarray(ret["vqa_logits"])
+                if valid is not None and not valid.all():
+                    qids = [q for q, keep in zip(qids, valid) if keep]
+                    logits = logits[valid]
+                vqa_writer.update(qids, logits)
             if cfg.fast_dev_run:
                 break
 

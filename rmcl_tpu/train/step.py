@@ -174,7 +174,7 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
             temperature=cfg.temperature, momentum=cfg.momentum,
             per_step_bs=batch["text_ids"].shape[0],
             fuse_views=cfg.fuse_moco_views,
-            attacked_image=aug_image)
+            attacked_image=aug_image, augmentation=cfg.augmentation)
         ret.update(r)
     if "barlowtwins" in tasks:
         r, _, new_state = contrastive.compute_barlowtwins_contrastive(
@@ -184,7 +184,7 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
             pgd_fn=(_build_pgd(cfg, model, "barlowtwins")
                     if cfg.image_view and not cfg.augmentation else None),
             adv_lr=cfg.adv_lr, per_step_bs=batch["text_ids"].shape[0],
-            attacked_image=aug_image)
+            attacked_image=aug_image, augmentation=cfg.augmentation)
         ret.update(r)
     if "vqa" in tasks:
         ret.update(downstream.compute_vqa(model, params, batch,

@@ -416,3 +416,95 @@ def test_trainer_benign_augmentation_moco(tmp_path):
     vm = tr.validate()
     assert np.isfinite(vm["moco_loss"])
     assert "attacked_txt_loss" in vm and "attacked_img_loss" in vm
+
+
+def test_attacked_recall_effectiveness(tmp_path):
+    """The attacked-recall proxy ACTUALLY lowers recall (PARITY.md
+    divergence #9): fit rank_output exactly to the clean pair features
+    (clean recall = 1.0 by construction), then the PGD image attack must
+    strictly degrade it.  Also regression-guards the B=1 IRTR PGD
+    (in-batch softmax over one class has zero gradient)."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.eval.retrieval import (
+        compute_attacked_irtr_recall, compute_irtr_recall)
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    caps = ["red dog running fast", "blue cat sleeping quietly",
+            "green bird flying high", "small fish swimming deep"]
+
+    def png(seed):
+        img = Image.fromarray(np.random.RandomState(seed).randint(
+            0, 255, (40, 48, 3), np.uint8))
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        return b.getvalue()
+
+    rows = {"image": [png(i) for i in range(4)],
+            "caption": [[c] for c in caps],
+            "image_id": [f"{i}.jpg" for i in range(4)],
+            "split": ["train"] * 4}
+    t = pa.table(rows)
+    for name in ("coco_caption_karpathy_train",
+                 "coco_caption_karpathy_test"):
+        with pa.OSFile(os.path.join(str(arrow), f"{name}.arrow"), "wb") as f:
+            with pa.RecordBatchFileWriter(f, t.schema) as w:
+                w.write_table(t)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, sorted({w for c in caps for w in c.split()}))
+
+    cfg = build_config(
+        "task_finetune_irtr_coco_randaug_attacked",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=1, warmup_steps=0, batch_size=4,
+        draw_false_text=2, num_workers=2, max_image_len=-1,
+        loss_names=loss_names({"irtr": 1, "irtr_attacked": 1}),
+        text_view=False, image_view=True, get_recall_metric=False,
+        adv_steps_img=5, adv_lr_img=0.3, adv_max_norm_img=0.5,
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    tr.greedy = None
+
+    # ---- least-squares rank_output: score(img_i, txt_j) = +1 iff i==j
+    import jax.numpy as jnp
+    dset = tr.dm.make_no_false_dset("coco", "test")
+    model, params = tr.model, tr.ts.params
+    n = len(dset)
+    H, W = cfg.image_bucket_hw
+    row_to_sample = {}
+    for i, (r, _) in dset.index_mapper.items():
+        row_to_sample.setdefault(r, i)
+    feats, y = [], []
+    for ti in range(n):
+        txt = dset.get_text(ti)
+        ids = np.asarray(txt["text"][1]["input_ids"])[None]
+        masks = np.asarray(txt["text"][1]["attention_mask"])[None]
+        for r in range(n):
+            img = dset.get_image(row_to_sample[r])["image"][0]
+            canvas = np.zeros((1, H, W, 3), np.float32)
+            canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]
+            b = {"image": jnp.asarray(canvas), "text_ids": jnp.asarray(ids),
+                 "text_masks": jnp.asarray(masks),
+                 "text_labels": jnp.full_like(jnp.asarray(ids), -100)}
+            inf = model.infer(params, b, deterministic=True)
+            feats.append(np.asarray(inf["cls_feats"])[0])
+            y.append(1.0 if txt["img_index"] == r else -1.0)
+    C = np.concatenate([np.stack(feats), np.ones((len(feats), 1))], axis=1)
+    w, *_ = np.linalg.lstsq(C, np.asarray(y), rcond=None)
+    tr.ts = tr.ts._replace(params=dict(
+        params, rank_output={"kernel": jnp.asarray(w[:-1][:, None],
+                                                   jnp.float32),
+                             "bias": jnp.asarray(w[-1:], jnp.float32)}))
+
+    clean = compute_irtr_recall(tr, split="test", txt_chunk=4, verbose=False)
+    assert clean == (1.0, 1.0, 1.0, 1.0, 1.0, 1.0)
+    attacked = compute_attacked_irtr_recall(
+        tr, split="test", txt_chunk=4, verbose=False,
+        text_view=False, image_view=True, max_texts=None)
+    assert sum(attacked) < sum(clean)   # attack effectiveness
+    assert attacked[0] < clean[0]       # ir_r1 strictly degraded

@@ -280,3 +280,104 @@ def test_train_step_vqa_attacked_pgd():
     ts1, m = step_fn(ts, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(m["vqa_loss"]))
     assert int(ts1.step) == 1
+
+
+def _with_false_texts(batch, b, F, cfg, seed=7):
+    """Attach false_text_{i}_ids/_masks the IRTR collator would emit."""
+    r = np.random.RandomState(seed)
+    T = cfg.max_text_len
+    for i in range(F):
+        ids = r.randint(5, cfg.vocab_size, (b, T)).astype(np.int32)
+        masks = np.ones((b, T), np.int32)
+        masks[:, T - 2:] = 0
+        ids[masks == 0] = 0
+        batch[f"false_text_{i}_ids"] = jnp.asarray(ids)
+        batch[f"false_text_{i}_masks"] = jnp.asarray(masks)
+    return batch
+
+
+def test_train_step_irtr_8dev():
+    """IRTR finetune step: 1 true + F false texts scored by rank_output
+    (reference objectives.py:1180-1222), 8-device data parallel.  Covers
+    the irtr_loss wiring in train/step.py:_TASK_LOSS_KEYS."""
+    assert jax.device_count() >= 8
+    F = 3
+    cfg = _tiny({"irtr": 1, "itm": 0.5}, draw_false_text=F, warmup_steps=0)
+    mesh = make_mesh(jax.devices()[:8])
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    assert "rank_output" in ts.params  # grafted from ITM head row 1
+    step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch = _with_false_texts(batch, 8, F, cfg)
+    batch = shard_batch(batch, mesh)
+
+    w0 = np.array(ts.params["rank_output"]["kernel"])
+    ts1, m = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["irtr_loss"]))
+    assert 0.0 <= float(m["irtr_step_accuracy"]) <= 1.0
+    # itm at weight 0.5 is INACTIVE as a task (reference gating >=1);
+    # total loss must be exactly the irtr loss
+    assert float(m["total_loss"]) == pytest.approx(float(m["irtr_loss"]),
+                                                   rel=1e-6)
+    # rank_output actually received gradient
+    w1 = np.array(ts1.params["rank_output"]["kernel"])
+    assert not np.allclose(w0, w1)
+
+
+def test_train_step_irtr_attacked_8dev():
+    """Attacked IRTR step: moco-head scoring of 1+F texts, PGD on the
+    image toward the text projection, attacked text ids from host
+    (repaired reference objectives.py:1062-1178 semantics)."""
+    assert jax.device_count() >= 8
+    F = 2
+    cfg = _tiny({"irtr_attacked": 1}, draw_false_text=F, image_view=True,
+                text_view=True, adv_steps_img=2, adv_lr_img=0.05,
+                adv_max_norm_img=0.005, temperature=0.07, warmup_steps=0)
+    mesh = make_mesh(jax.devices()[:8])
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    assert "moco_head" in ts.params
+    step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch = _with_false_texts(batch, 8, F, cfg)
+    batch["attacked_text_ids"] = jnp.roll(batch["text_ids"], 1, axis=1)
+    batch["attacked_text_masks"] = batch["text_masks"]
+    batch = shard_batch(batch, mesh)
+
+    ts1, m = step_fn(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["irtr_original_loss"]))
+    assert np.isfinite(float(m["irtr_attacked_loss"]))
+    # loss-key wiring: total = original + attacked
+    assert float(m["total_loss"]) == pytest.approx(
+        float(m["irtr_original_loss"]) + float(m["irtr_attacked_loss"]),
+        rel=1e-5)
+
+
+def test_irtr_fused_matches_unfused_broadcast():
+    """The broadcast-visual_embed fast path scores identically to a
+    per-text recompute (the reference's 16x recompute, :1198-1207)."""
+    from rmcl_tpu.objectives.downstream import compute_irtr
+    F = 2
+    cfg = _tiny({"irtr": 1, "itm": 0.5}, draw_false_text=F)
+    model, ts, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    b = make_fake_batch(cfg, batch=2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch = _with_false_texts(batch, 2, F, cfg)
+
+    ret = compute_irtr(model, ts.params, batch, train=False, false_len=F)
+    # reference-style: run each (image, text_i) pair through model.infer
+    from rmcl_tpu.models.heads import rank_output as rank_head
+    cols = []
+    texts = [("text_ids", "text_masks")] + [
+        (f"false_text_{i}_ids", f"false_text_{i}_masks") for i in range(F)]
+    for ids_k, masks_k in texts:
+        one = dict(batch, text_ids=batch[ids_k], text_masks=batch[masks_k])
+        inf = model.infer(ts.params, one, deterministic=True)
+        cols.append(np.asarray(
+            rank_head(ts.params["rank_output"], inf["cls_feats"])[:, 0]))
+    expected = np.stack(cols, axis=1)
+    np.testing.assert_allclose(np.asarray(ret["irtr_logits"]), expected,
+                               rtol=2e-4, atol=2e-5)
