@@ -21,6 +21,18 @@ The attack forward runs deterministically (no dropout).  The reference
 deep-copy inherits train-mode dropout; we deliberately use the clean
 forward — a strictly better-conditioned attack gradient (documented
 divergence).
+
+Hoisted-geometry fast path (default): the validity mask, pos-embed
+interpolation, and patch selection are δ-invariant (dL/dδ is exactly
+zero on padding and unselected patches — see models/vit.py VisualPrep),
+so they are computed ONCE from the clean image and each PGD iteration
+pays only `rows @ patch_kernel` plus the transformer.  δ lives directly
+in selected-patch space; the per-sample Linf norm over it equals the
+norm over the full canvas (the complement is identically zero).  The
+attack also runs without block rematerialisation regardless of the
+training config — it differentiates only w.r.t. δ, so its live
+activation set is one forward at local batch size (remat would buy
+nothing and cost a full recompute pass per iteration).
 """
 
 from __future__ import annotations
@@ -32,8 +44,50 @@ import jax.numpy as jnp
 
 from rmcl_tpu.models.heads import (
     barlowtwins_head, moco_head, nlvr2_classifier, vqa_classifier)
+from rmcl_tpu.models.vilt import infer as vilt_infer
+from rmcl_tpu.models.vit import (
+    from_patch_rows, scatter_delta, visual_embed_from_prep,
+    visual_embed_prepare)
 from rmcl_tpu.objectives.contrastive import bt_correlation_loss, infonce
 from rmcl_tpu.objectives.losses import bce_with_logits, cross_entropy, l2_normalize
+
+
+def _fast_visual(model, frozen, batch, imgkey: str = "image",
+                 image_token_type_idx: int = 1):
+    """Build the per-iteration forward for the hoisted-geometry path.
+
+    Returns (fwd, delta_shape, to_full) where fwd(delta_sel) runs the
+    full infer with δ applied in selected-patch space, delta_shape is δ's
+    (B, L, P*P*3) shape, and to_full(delta_sel) expands δ back to the
+    batch's image layout (patch rows or HWC canvas)."""
+    cfg = model.cfg
+    spec = model.spec._replace(remat=False)
+    img = batch[imgkey]
+    hwc = img.ndim == 4
+    tr = frozen["transformer"]
+    prep = visual_embed_prepare(
+        tr, img, spec=spec, max_image_len=cfg.max_image_len,
+        grid_hw=None if hwc else cfg.grid_hw)
+    dtype = jnp.dtype(cfg.compute_dtype)
+    if hwc:
+        grid = (img.shape[1] // spec.patch_size,
+                img.shape[2] // spec.patch_size)
+    else:
+        grid = cfg.grid_hw
+
+    def fwd(delta_sel):
+        emb, xm = visual_embed_from_prep(tr, prep, delta_sel, spec=spec,
+                                         dtype=dtype)
+        return vilt_infer(frozen, batch, cfg=cfg, spec=spec,
+                          image_embeds=emb, image_masks=xm,
+                          image_token_type_idx=image_token_type_idx,
+                          deterministic=True)
+
+    def to_full(delta_sel):
+        d = scatter_delta(prep, delta_sel)
+        return from_patch_rows(d, grid, spec.patch_size) if hwc else d
+
+    return fwd, prep.rows_sel.shape, to_full
 
 
 def _linf_normalised_step(delta, grad, adv_lr: float, max_norm: float):
@@ -60,7 +114,7 @@ def _pgd_loop(loss_of_delta: Callable, img_shape, dtype,
 
 # ------------------------------------------------------------------ MoCo
 def make_pgd_moco(model, adv_steps: int, adv_lr: float, max_norm: float,
-                  temperature: float):
+                  temperature: float, fast: bool = True):
     """InfoNCE-ascent PGD (reference PGDAttack_moco.pgd_attack :130-175)."""
 
     def attack(params, batch, k_modality, neg_queue):
@@ -69,13 +123,21 @@ def make_pgd_moco(model, adv_steps: int, adv_lr: float, max_norm: float,
         neg_queue = jax.lax.stop_gradient(neg_queue)
         img = batch["image"]
 
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            infer = model.infer(frozen, b, deterministic=True)
+        def head_loss(infer):
             q = l2_normalize(moco_head(frozen["moco_head"],
                                        infer["cls_feats"]), axis=1)
             loss, _ = infonce(q, k_modality, neg_queue, temperature)
             return loss / adv_steps
+
+        if fast:
+            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
+            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
+                              adv_steps, adv_lr, max_norm)
+            return to_full(delta)
+
+        def loss_of(delta):
+            b = dict(batch, image=img + delta)
+            return head_loss(model.infer(frozen, b, deterministic=True))
 
         return _pgd_loop(loss_of, img.shape, img.dtype,
                          adv_steps, adv_lr, max_norm)
@@ -85,7 +147,8 @@ def make_pgd_moco(model, adv_steps: int, adv_lr: float, max_norm: float,
 
 # ----------------------------------------------------------- BarlowTwins
 def make_pgd_barlowtwins(model, adv_steps: int, adv_lr: float,
-                         max_norm: float, bt_lambda: float):
+                         max_norm: float, bt_lambda: float,
+                         fast: bool = True):
     """Cross-correlation-ascent PGD
     (reference PGDAttack_bartlowtwins.pgd_attack :198-238; note the
     local-batch divisor q.shape[0] at :219)."""
@@ -95,14 +158,22 @@ def make_pgd_barlowtwins(model, adv_steps: int, adv_lr: float,
         k_modality = jax.lax.stop_gradient(k_modality)
         img = batch["image"]
 
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            infer = model.infer(frozen, b, deterministic=True)
+        def head_loss(infer):
             q, _ = barlowtwins_head(frozen["barlowtwins_head"],
                                     infer["cls_feats"], training=True)
             loss, _, _ = bt_correlation_loss(q, k_modality, q.shape[0],
                                              bt_lambda)
             return loss / adv_steps
+
+        if fast:
+            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
+            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
+                              adv_steps, adv_lr, max_norm)
+            return to_full(delta)
+
+        def loss_of(delta):
+            b = dict(batch, image=img + delta)
+            return head_loss(model.infer(frozen, b, deterministic=True))
 
         return _pgd_loop(loss_of, img.shape, img.dtype,
                          adv_steps, adv_lr, max_norm)
@@ -112,7 +183,7 @@ def make_pgd_barlowtwins(model, adv_steps: int, adv_lr: float,
 
 # ---------------------------------------------------------------- NLVR2
 def make_pgd_nlvr2(model, adv_steps: int, adv_lr: float, max_norm: float,
-                   attack_idx=(True, True)):
+                   attack_idx=(True, True), fast: bool = True):
     """Two-image CE-ascent PGD with per-image gating
     (reference PGDAttack_nlvr2.pgd_attack :263-342).
     Returns (delta_0, delta_1)."""
@@ -121,6 +192,37 @@ def make_pgd_nlvr2(model, adv_steps: int, adv_lr: float, max_norm: float,
         frozen = jax.lax.stop_gradient(params)
         img0, img1 = batch["image_0"], batch["image_1"]
 
+        def head_loss(i1, i2):
+            cls = jnp.concatenate([i1["cls_feats"], i2["cls_feats"]], axis=-1)
+            logits = nlvr2_classifier(frozen["nlvr2_classifier"], cls)
+            return cross_entropy(logits, labels) / adv_steps
+
+        if fast:
+            fwd0, dshape0, to_full0 = _fast_visual(
+                model, frozen, batch, imgkey="image_0", image_token_type_idx=1)
+            fwd1, dshape1, to_full1 = _fast_visual(
+                model, frozen, batch, imgkey="image_1", image_token_type_idx=2)
+
+            def loss_fast(deltas):
+                d0, d1 = deltas
+                return head_loss(fwd0(d0), fwd1(d1))
+
+            grad_fast = jax.grad(loss_fast)
+
+            def body_fast(_, deltas):
+                g0, g1 = grad_fast(deltas)
+                d0, d1 = deltas
+                if attack_idx[0]:
+                    d0 = _linf_normalised_step(d0, g0, adv_lr, max_norm)
+                if attack_idx[1]:
+                    d1 = _linf_normalised_step(d1, g1, adv_lr, max_norm)
+                return (d0, d1)
+
+            init = (jnp.zeros(dshape0, img0.dtype),
+                    jnp.zeros(dshape1, img1.dtype))
+            d0, d1 = jax.lax.fori_loop(0, adv_steps, body_fast, init)
+            return to_full0(d0), to_full1(d1)
+
         def loss_of(deltas):
             d0, d1 = deltas
             b = dict(batch, image_0=img0 + d0, image_1=img1 + d1)
@@ -128,9 +230,7 @@ def make_pgd_nlvr2(model, adv_steps: int, adv_lr: float, max_norm: float,
                              deterministic=True)
             i2 = model.infer(frozen, b, image_token_type_idx=2,
                              deterministic=True)
-            cls = jnp.concatenate([i1["cls_feats"], i2["cls_feats"]], axis=-1)
-            logits = nlvr2_classifier(frozen["nlvr2_classifier"], cls)
-            return cross_entropy(logits, labels) / adv_steps
+            return head_loss(i1, i2)
 
         grad_fn = jax.grad(loss_of)
 
@@ -151,7 +251,7 @@ def make_pgd_nlvr2(model, adv_steps: int, adv_lr: float, max_norm: float,
 
 # ------------------------------------------------------------------ VQA
 def make_pgd_vqa(model, adv_steps: int, adv_lr: float, max_norm: float,
-                 label_size: int):
+                 label_size: int, fast: bool = True):
     """BCE-ascent PGD (reference PGDAttack_vqa.pgd_attack :439-483).
     `vqa_targets` is the dense (B, label_size) soft-score matrix."""
 
@@ -159,12 +259,20 @@ def make_pgd_vqa(model, adv_steps: int, adv_lr: float, max_norm: float,
         frozen = jax.lax.stop_gradient(params)
         img = batch["image"]
 
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            infer = model.infer(frozen, b, deterministic=True)
+        def head_loss(infer):
             logits = vqa_classifier(frozen["vqa_classifier"],
                                     infer["cls_feats"])
             return bce_with_logits(logits, vqa_targets) * label_size
+
+        if fast:
+            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
+            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
+                              adv_steps, adv_lr, max_norm)
+            return to_full(delta)
+
+        def loss_of(delta):
+            b = dict(batch, image=img + delta)
+            return head_loss(model.infer(frozen, b, deterministic=True))
 
         return _pgd_loop(loss_of, img.shape, img.dtype,
                          adv_steps, adv_lr, max_norm)
@@ -174,7 +282,7 @@ def make_pgd_vqa(model, adv_steps: int, adv_lr: float, max_norm: float,
 
 # ------------------------------------------------------------------ IRTR
 def make_pgd_irtr(model, adv_steps: int, adv_lr: float, max_norm: float,
-                  temperature: float):
+                  temperature: float, fast: bool = True):
     """IRTR PGD.  The reference variant (PGDAttack_irtr :364-415)
     references an undefined `text_representation` and cannot run
     (SURVEY.md §2.5); this is the repaired semantics: push the
@@ -190,9 +298,7 @@ def make_pgd_irtr(model, adv_steps: int, adv_lr: float, max_norm: float,
         img = batch["image"]
         B = text_repr.shape[0]
 
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            infer = model.infer(frozen, b, deterministic=True)
+        def head_loss(infer):
             q = l2_normalize(moco_head(frozen["moco_head"],
                                        infer["cls_feats"]), axis=1)
             logits = (q.astype(jnp.float32)
@@ -203,6 +309,16 @@ def make_pgd_irtr(model, adv_steps: int, adv_lr: float, max_norm: float,
                 neg = jnp.where(jnp.eye(B, dtype=bool), -jnp.inf, logits)
                 loss = loss + jnp.mean(jax.nn.logsumexp(neg, axis=1))
             return loss / adv_steps
+
+        if fast:
+            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
+            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
+                              adv_steps, adv_lr, max_norm)
+            return to_full(delta)
+
+        def loss_of(delta):
+            b = dict(batch, image=img + delta)
+            return head_loss(model.infer(frozen, b, deterministic=True))
 
         return _pgd_loop(loss_of, img.shape, img.dtype,
                          adv_steps, adv_lr, max_norm)

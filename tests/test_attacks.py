@@ -110,6 +110,41 @@ def test_pgd_moco_bounds_and_ascent(moco_setup):
     assert loss_of(b["image"] + delta) > loss_of(b["image"])
 
 
+def test_pgd_fast_matches_slow(moco_setup):
+    """Hoisted-geometry PGD (geometry computed once from the clean image)
+    must equal the per-iteration-recompute path: dL/dδ is exactly zero on
+    padding and unselected patches, so the mask / pos-embed / selection
+    are δ-invariant (models/vit.py VisualPrep)."""
+    cfg = moco_setup.replace(vocab_size=64, max_image_len=4)  # select 4 of 6
+    model = ViLTModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    b = {k: jnp.asarray(v) for k, v in make_fake_batch(cfg).items()}
+    infer_k = model.infer_k(params, b, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+    queue = state["proj_queue"]
+
+    args = (3, 0.05, 0.005, cfg.temperature)
+    d_fast = jax.jit(make_pgd_moco(model, *args, fast=True))(params, b, k, queue)
+    d_slow = jax.jit(make_pgd_moco(model, *args, fast=False))(params, b, k, queue)
+    assert d_fast.shape == b["image"].shape
+    np.testing.assert_allclose(np.array(d_fast), np.array(d_slow),
+                               atol=1e-6, rtol=1e-5)
+
+    # patch-row layout: δ comes back in the same layout as the input
+    from rmcl_tpu.data.arrow_dataset import hwc_to_patch_rows
+    from rmcl_tpu.models.vit import to_patch_rows
+    rows = jnp.asarray(hwc_to_patch_rows(np.asarray(b["image"]),
+                                         cfg.patch_size))
+    b_rows = dict(b, image=rows)
+    d_rows = jax.jit(make_pgd_moco(model, *args, fast=True))(
+        params, b_rows, k, queue)
+    assert d_rows.shape == rows.shape
+    np.testing.assert_allclose(
+        np.array(d_rows),
+        np.array(to_patch_rows(d_fast, cfg.patch_size)),
+        atol=1e-6, rtol=1e-5)
+
+
 def test_pgd_nlvr2_gating(moco_setup):
     cfg = moco_setup.replace(
         vocab_size=64, loss_names=loss_names({"nlvr2": 1}))
