@@ -46,6 +46,66 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
+GREEDY = os.environ.get("BENCH_GREEDY", "0") == "1"
+OVERLAP = os.environ.get("BENCH_OVERLAP", "1") == "1"
+
+# vocabulary for the BENCH_GREEDY synthetic counter-fitted subset
+_GREEDY_WORDS = [
+    "dog", "cat", "puppy", "kitten", "car", "auto", "red", "crimson",
+    "blue", "azure", "big", "large", "small", "tiny", "runs", "sprints",
+    "sits", "rests", "park", "garden", "street", "road", "man", "guy",
+    "woman", "lady", "child", "kid", "house", "home", "tree", "plant",
+    "fast", "quick", "slow", "sluggish", "happy", "glad", "sad", "gloomy",
+    "in", "the", "a", "on", "with", "near",
+]
+_GREEDY_GROUPS = [
+    ["dog", "puppy"], ["cat", "kitten"], ["car", "auto"],
+    ["red", "crimson"], ["blue", "azure"], ["big", "large"],
+    ["small", "tiny"], ["runs", "sprints"], ["sits", "rests"],
+    ["park", "garden"], ["street", "road"], ["man", "guy"],
+    ["woman", "lady"], ["child", "kid"], ["house", "home"],
+    ["tree", "plant"], ["fast", "quick"], ["slow", "sluggish"],
+    ["happy", "glad"], ["sad", "gloomy"],
+]
+
+
+def _greedy_setup(cfg, model, batch_size):
+    """Tiny tokenizer + synthetic counter-fitted synonym table + text
+    batch for the full-hot-path bench (the real counter-fitted vectors
+    are not in this environment; the attack's device cost is set by
+    (B, n_candidates, max_loops, model), not by vocabulary size)."""
+    import tempfile
+    from rmcl_tpu.attacks.greedy import GreedyAttackMoco, SynonymTable
+    from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
+
+    d = tempfile.mkdtemp(prefix="bench_greedy_")
+    vocab = os.path.join(d, "vocab.txt")
+    make_tiny_vocab(vocab, _GREEDY_WORDS)
+    tok = WordPieceTokenizer(vocab)
+
+    rng = np.random.RandomState(0)
+    vecs = {}
+    for group in _GREEDY_GROUPS:
+        base = rng.randn(32)
+        for w in group:
+            vecs[w] = base + 0.05 * rng.randn(32)
+    for w in _GREEDY_WORDS:
+        vecs.setdefault(w, rng.randn(32))
+    emb = os.path.join(d, "vectors.txt")
+    with open(emb, "w") as f:
+        for w, v in vecs.items():
+            f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+    syn = SynonymTable(emb, cfg.n_candidates, cfg.sim_thred)
+    greedy = GreedyAttackMoco(cfg, model, tok, syn)
+
+    content = [w for w in _GREEDY_WORDS if w not in
+               ("in", "the", "a", "on", "with", "near")]
+    sents = [" ".join(rng.choice(content, size=min(cfg.max_text_len - 2, 10)))
+             for _ in range(batch_size)]
+    ids, masks = tok.batch_encode(sents, cfg.max_text_len)
+    return greedy, ids.astype(np.int32), masks.astype(np.int32)
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -69,6 +129,7 @@ def main():
         use_pallas_attention=on_tpu and PALLAS,
         attention_impl=os.environ.get("BENCH_ATTN", ""),
         image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
+        fuse_moco_views=os.environ.get("BENCH_FUSE", "0") == "1",
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH,
         max_steps=200000,
@@ -81,6 +142,9 @@ def main():
     batch = {k: jnp.asarray(v)
              for k, v in _fake_batch(cfg, BATCH, with_views=True).items()}
     rng = jax.random.PRNGKey(1)
+
+    if GREEDY:
+        return bench_greedy(cfg, model, ts, step_fn, batch, rng)
 
     log("compiling...")
     t0 = time.perf_counter()
@@ -107,6 +171,78 @@ def main():
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / REF_PAIRS_PER_SEC_PER_GPU, 3),
+    }))
+
+
+def bench_greedy(cfg, model, ts, step_fn, batch, rng):
+    """Full hot path: host greedy text attack (reference
+    vilt/modules/objectives.py:190-215 -> attack/greedy_attack_vilt.py:494)
+    + the jitted RMCL step, serial vs host/device-overlapped
+    (BENCH_OVERLAP, mirrors train/loop.py's pipeline)."""
+    import jax
+    import jax.numpy as jnp
+    from rmcl_tpu.train.loop import make_greedy_extras_fn
+
+    greedy, ids, masks = _greedy_setup(cfg, model, BATCH)
+    base = {k: v for k, v in batch.items() if not k.startswith("attacked")}
+    base["text_ids"] = jnp.asarray(ids)
+    base["text_masks"] = jnp.asarray(masks)
+    base["text_labels"] = jnp.full_like(jnp.asarray(ids), -100)
+    extras_fn = make_greedy_extras_fn(cfg, model)
+
+    def prepare(ts):
+        extras = extras_fn(ts, base)
+        out = greedy.adv_attack_samples(ts.params, base, extras)
+        return dict(base,
+                    attacked_text_ids=jnp.asarray(out["txt_input_ids"]),
+                    attacked_text_masks=jnp.asarray(out["text_masks"]))
+
+    log("compiling (greedy grad/score passes + train step)...")
+    t0 = time.perf_counter()
+    b0 = prepare(ts)
+    ts, metrics = step_fn(ts, b0, rng)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"moco_loss={float(metrics['moco_loss']):.4f}")
+    for _ in range(WARMUP):
+        b0 = prepare(ts)
+        ts, metrics = step_fn(ts, b0, rng)
+    _ = float(metrics["moco_loss"])
+
+    # ---- serial: attack N then step N (the reference's ordering AND
+    # scheduling — everything on the critical path)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        b = prepare(ts)
+        ts, metrics = step_fn(ts, b, rng)
+    _ = float(metrics["moco_loss"])
+    dt_serial = (time.perf_counter() - t0) / ITERS
+
+    pairs = BATCH / dt_serial
+    log(f"serial   step+attack {dt_serial*1e3:7.1f} ms -> {pairs:6.1f} pairs/s")
+
+    dt = dt_serial
+    if OVERLAP:
+        from concurrent.futures import ThreadPoolExecutor
+        pool = ThreadPoolExecutor(max_workers=1)
+        fut = pool.submit(prepare, ts)
+        t0 = time.perf_counter()
+        for _ in range(ITERS):
+            b = fut.result()
+            ts, metrics = step_fn(ts, b, rng)
+            fut = pool.submit(prepare, ts)
+        _ = float(metrics["moco_loss"])
+        dt_overlap = (time.perf_counter() - t0) / ITERS
+        fut.result()
+        pool.shutdown()
+        log(f"overlap  step+attack {dt_overlap*1e3:7.1f} ms -> "
+            f"{BATCH/dt_overlap:6.1f} pairs/s")
+        dt = min(dt, dt_overlap)
+
+    print(json.dumps({
+        "metric": "rmcl_moco_step_incl_greedy_pairs_per_sec_per_chip",
+        "value": round(BATCH / dt, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(BATCH / dt / REF_PAIRS_PER_SEC_PER_GPU, 3),
     }))
 
 

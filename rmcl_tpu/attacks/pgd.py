@@ -29,10 +29,9 @@ so they are computed ONCE from the clean image and each PGD iteration
 pays only `rows @ patch_kernel` plus the transformer.  δ lives directly
 in selected-patch space; the per-sample Linf norm over it equals the
 norm over the full canvas (the complement is identically zero).  The
-attack also runs without block rematerialisation regardless of the
-training config — it differentiates only w.r.t. δ, so its live
-activation set is one forward at local batch size (remat would buy
-nothing and cost a full recompute pass per iteration).
+attack keeps the training remat setting: although it differentiates
+only w.r.t. δ, the step is HBM-bound, so recomputing activations is
+cheaper than writing them out (measured).
 """
 
 from __future__ import annotations
@@ -61,7 +60,10 @@ def _fast_visual(model, frozen, batch, imgkey: str = "image",
     (B, L, P*P*3) shape, and to_full(delta_sel) expands δ back to the
     batch's image layout (patch rows or HWC canvas)."""
     cfg = model.cfg
-    spec = model.spec._replace(remat=False)
+    # keep the training remat setting: the step is HBM-bound, so remat's
+    # recompute is cheaper than writing one forward's activations out
+    # (measured b16 pgd-iter: 19.9 ms with remat vs 22.3 ms without)
+    spec = model.spec
     img = batch[imgkey]
     hwc = img.ndim == 4
     tr = frozen["transformer"]

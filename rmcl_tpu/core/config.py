@@ -174,6 +174,10 @@ class RMCLConfig:
     # effective batch hits the same HBM-bound regime as b64); off by
     # default, useful on larger-HBM parts.
     fuse_moco_views: bool = False
+    # run the host-side greedy attack / augmentation for batch N+1 on a
+    # worker thread while the device executes step N (the reference
+    # serialises them inside training_step; see train/loop.py)
+    host_prefetch: bool = True
     log_every_n_steps: int = 10
 
     # ---------------------------------------------------------------

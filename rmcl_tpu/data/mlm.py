@@ -8,12 +8,23 @@ Semantics (HF parity):
   * each non-special token is masked with prob `mlm_prob` (0.15);
   * of masked tokens: 80% -> [MASK], 10% -> random vocab id, 10% kept;
   * labels = original id at masked positions, -100 elsewhere.
-Whole-word masking groups "##" continuation pieces with their head word
-and masks whole words until ~mlm_prob of tokens are covered.
+Whole-word masking reproduces `DataCollatorForWholeWordMask._whole_word_mask`
+decision-for-decision (same candidate grouping, same shuffled greedy
+selection, same budget `min(512, max(1, round(len(tokens) * p)))` counted
+over the unpadded token list INCLUDING [CLS]/[SEP], same skip-when-over
+rule with no first-word exception — a long first word CAN yield zero
+masks, as in HF).  The shuffle consumes a `random.Random(seed)` stream —
+the same Mersenne generator HF's global `random.shuffle` uses, so
+seeding both identically gives bit-identical mask patterns
+(tests/test_data.py::test_wwm_matches_hf_collator).  The reference feeds
+UNPADDED encodings (datamodule_base.py:57-65 collates before padding);
+our rows arrive padded, so pad positions are excluded from candidates
+and from the budget count — identical effective behaviour.
 """
 
 from __future__ import annotations
 
+import random as pyrandom
 from typing import List, Tuple
 
 import numpy as np
@@ -26,10 +37,20 @@ class MLMCollator:
         self.mlm_prob = mlm_prob
         self.whole_word = whole_word
         self.rng = np.random.RandomState(seed)
+        self.pyrng = pyrandom.Random(seed)
+        self.pad_id = int(getattr(tokenizer, "pad_token_id", 0) or 0)
         self.mask_id = int(tokenizer.mask_token_id
                            if hasattr(tokenizer, "mask_token_id")
                            else tokenizer.convert_tokens_to_ids("[MASK]"))
         self.vocab_size = int(getattr(tokenizer, "vocab_size", 30522))
+        # HF clears ALL special ids (incl. [UNK]/[MASK]) from the final
+        # mask via get_special_tokens_mask(already_has_special_tokens=True)
+        # — AFTER WWM selection, so specials still compete for the budget
+        self.all_special_ids = np.asarray(sorted({
+            int(getattr(tokenizer, a))
+            for a in ("pad_token_id", "unk_token_id", "cls_token_id",
+                      "sep_token_id", "mask_token_id")
+            if getattr(tokenizer, a, None) is not None}), np.int64)
 
     # ------------------------------------------------------------------
     def __call__(self, input_ids: np.ndarray,
@@ -39,11 +60,14 @@ class MLMCollator:
         ids = np.array(input_ids, np.int32, copy=True)
         special = np.asarray(special_tokens_mask).astype(bool)
 
+        unmaskable = special | np.isin(ids, self.all_special_ids)
         if self.whole_word:
-            masked = self._whole_word_mask(ids, special)
+            # HF: specials other than [CLS]/[SEP] (e.g. [UNK]) COMPETE in
+            # the selection, then get cleared from the final mask
+            masked = self._whole_word_mask(ids, special) & ~unmaskable
         else:
             prob = np.full(ids.shape, self.mlm_prob)
-            prob[special] = 0.0
+            prob[unmaskable] = 0.0
             masked = self.rng.random_sample(ids.shape) < prob
 
         labels = np.where(masked, ids, -100).astype(np.int32)
@@ -73,20 +97,24 @@ class MLMCollator:
 
     def _whole_word_mask(self, ids: np.ndarray,
                          special: np.ndarray) -> np.ndarray:
+        """HF `DataCollatorForWholeWordMask._whole_word_mask` semantics,
+        one call per batch row (HF shuffles per example in sequence,
+        consuming the same RNG stream order)."""
         masked = np.zeros(ids.shape, bool)
         for b in range(ids.shape[0]):
             groups = self._word_groups(ids[b], special[b])
-            n_tokens = int((~special[b]).sum())
-            budget = max(1, int(round(n_tokens * self.mlm_prob)))
-            order = self.rng.permutation(len(groups))
+            # HF budget counts the full (unpadded) token list incl.
+            # [CLS]/[SEP]; our rows are padded, so count non-pad
+            n_tokens = int((ids[b] != self.pad_id).sum())
+            budget = min(512, max(1, int(round(n_tokens * self.mlm_prob))))
+            self.pyrng.shuffle(groups)
             covered = 0
-            for gi in order:
-                g = groups[gi]
-                if covered + len(g) > budget and covered > 0:
+            for g in groups:
+                if covered >= budget:
+                    break
+                if covered + len(g) > budget:
                     continue
                 for pos in g:
                     masked[b, pos] = True
                 covered += len(g)
-                if covered >= budget:
-                    break
         return masked

@@ -79,8 +79,11 @@ def build_greedy_attacker(cfg: RMCLConfig, model, tokenizer):
     return cls(cfg, model, tokenizer, syn)
 
 
-def _greedy_extras(cfg: RMCLConfig, model, ts: TrainState, batch):
-    """Build the attacker's `extras` for the active framework."""
+def make_greedy_extras_fn(cfg: RMCLConfig, model):
+    """Returns `fn(ts, batch) -> extras` for the active framework, with
+    the model forwards JITTED once (an eager infer_k per step would
+    dispatch op-by-op).  Python scalars in the extras tuple are assembled
+    outside the jit."""
     from rmcl_tpu.models.heads import moco_head
     from rmcl_tpu.objectives.losses import l2_normalize
     tasks = active_tasks(cfg)
@@ -90,30 +93,44 @@ def _greedy_extras(cfg: RMCLConfig, model, ts: TrainState, batch):
         # the post-EMA key encoder — apply the same update the jitted
         # step will perform (one tree_map; the step recomputes it in-graph)
         from rmcl_tpu.objectives.contrastive import momentum_update
-        p = momentum_update(ts.params, cfg.momentum)
-        infer_k = model.infer_k(p, batch, deterministic=True)
-        k = l2_normalize(moco_head(p["k_moco_head"],
-                                   infer_k["cls_feats"]), axis=1)
-        return (jax.lax.stop_gradient(k), ts.state["proj_queue"],
-                cfg.temperature)
+
+        @jax.jit
+        def k_of(params, batch):
+            p = momentum_update(params, cfg.momentum)
+            infer_k = model.infer_k(p, batch, deterministic=True)
+            return jax.lax.stop_gradient(l2_normalize(
+                moco_head(p["k_moco_head"], infer_k["cls_feats"]), axis=1))
+
+        return lambda ts, batch: (k_of(ts.params, batch),
+                                  ts.state["proj_queue"], cfg.temperature)
     if "barlowtwins" in tasks:
         from rmcl_tpu.models.heads import barlowtwins_head
-        infer = model.infer(ts.params, batch, deterministic=True)
-        k, _ = barlowtwins_head(ts.params["barlowtwins_head"],
-                                infer["cls_feats"], training=True)
-        B = k.shape[0]
-        return (jax.lax.stop_gradient(k), B, cfg.adv_lr)
+
+        @jax.jit
+        def bt_k_of(params, batch):
+            infer = model.infer(params, batch, deterministic=True)
+            k, _ = barlowtwins_head(params["barlowtwins_head"],
+                                    infer["cls_feats"], training=True)
+            return jax.lax.stop_gradient(k)
+
+        return lambda ts, batch: (bt_k_of(ts.params, batch),
+                                  batch["text_ids"].shape[0], cfg.adv_lr)
     if "nlvr2_attacked" in tasks:
-        return (jnp.asarray(batch["answers"], jnp.int32),)
+        return lambda ts, batch: (jnp.asarray(batch["answers"], jnp.int32),)
     if "vqa_attacked" in tasks:
-        return (jnp.asarray(batch["vqa_targets"]),)
+        return lambda ts, batch: (jnp.asarray(batch["vqa_targets"]),)
     if "irtr_attacked" in tasks:
-        infer = model.infer(ts.params, batch, deterministic=True)
-        tr = l2_normalize(moco_head(ts.params["moco_head"],
-                                    infer["cls_feats"]), axis=1)
-        return (jax.lax.stop_gradient(tr), cfg.temperature,
-                jnp.arange(tr.shape[0]))
-    return None
+
+        @jax.jit
+        def tr_of(params, batch):
+            infer = model.infer(params, batch, deterministic=True)
+            return jax.lax.stop_gradient(l2_normalize(
+                moco_head(params["moco_head"], infer["cls_feats"]), axis=1))
+
+        return lambda ts, batch: (
+            tr_of(ts.params, batch), cfg.temperature,
+            jnp.arange(batch["text_ids"].shape[0]))
+    return lambda ts, batch: None
 
 
 class Trainer:
@@ -222,6 +239,7 @@ class Trainer:
         elif cfg.text_view:
             self.greedy = build_greedy_attacker(cfg, self.model,
                                                 self.dm.tokenizer)
+        self._extras_fn = None
         self.epoch = 0
         self.train_metrics = MetricBag(cfg.loss_names)
         self.val_metrics = MetricBag(cfg.loss_names)
@@ -252,7 +270,9 @@ class Trainer:
         # --- adversarial text view (greedy word substitution) ---
         db = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
-        extras = _greedy_extras(self.cfg, self.model, self.ts, db)
+        if self._extras_fn is None:
+            self._extras_fn = make_greedy_extras_fn(self.cfg, self.model)
+        extras = self._extras_fn(self.ts, db)
         out = self.greedy.adv_attack_samples(self.ts.params, db, extras)
         batch = dict(batch,
                      attacked_text_ids=np.asarray(out["txt_input_ids"]),
@@ -276,18 +296,49 @@ class Trainer:
         # epoch 0 and the epoch budget isn't extended
         epoch = self.steps_done // max(self.steps_per_epoch, 1)
         t0 = time.time()
+
+        # Host/device pipeline: the greedy text attack and augmentation
+        # run on a worker thread for batch N+1 while the device executes
+        # step N (the reference runs them strictly serially inside
+        # training_step, vilt/modules/objectives.py:190-215).  The
+        # attacker reads self.ts.params, which by submit time already
+        # holds step-N's (asynchronously materialising) outputs, so the
+        # attack targets the SAME parameters as the reference ordering —
+        # its device programs simply queue behind step N while its host
+        # tokenisation work overlaps.
+        pool = None
+        if cfg.host_prefetch and (self.greedy is not None
+                                  or self.text_augment is not None
+                                  or self.image_augment is not None):
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(max_workers=1)
+
         while self.steps_done < limit and epoch < cfg.max_epoch:
             self.epoch = epoch
             loader = self.dm.train_loader(self.per_host_batch)
             loader.set_epoch(epoch)
-            for batch in loader:
+            it = iter(loader)
+            raw = next(it, None)
+            fut = (pool.submit(self._attach_text_attack, raw)
+                   if pool is not None and raw is not None else None)
+            while raw is not None:
                 if self.steps_done >= limit:
                     break
-                batch = self._attach_text_attack(batch)
+                batch = fut.result() if fut is not None \
+                    else self._attach_text_attack(raw)
                 db = _device_batch(batch, self.mesh)
                 rng, sub = jax.random.split(rng)
                 self.ts, metrics = self.step_fn(self.ts, db, sub)
                 self.steps_done += 1
+                # submit the NEXT batch's host attack now — after the
+                # step dispatch (self.ts holds step-N's async outputs,
+                # so the attacker targets exactly the params the
+                # reference ordering would) but before the blocking
+                # metric fetch below, so the attack's tokenizer work
+                # runs while the device executes step N
+                raw = next(it, None)
+                if pool is not None and raw is not None:
+                    fut = pool.submit(self._attach_text_attack, raw)
                 self.train_metrics.update(
                     {k: np.asarray(v) for k, v in metrics.items()})
                 if self.steps_done % log_every == 0:

@@ -136,3 +136,72 @@ def test_special_token_roundtrip(tok):
     ids = tok(["a [MASK] dog"], max_length=8,
               return_tensors="np")["input_ids"][0]
     assert tok.mask_token_id in ids
+
+
+def test_text_augmentation_pegasus_sbert_wiring(tok):
+    """Exercises the PRIMARY reference path (PEGASUS paraphrase + SBERT
+    cosine ranking, reference augmentation/text_augmentation.py:19-52)
+    with mocked models — the real weights are environment-gated (zero
+    egress; see PARITY.md).  Validates: generate() receives the
+    configured beams/sequences, candidates pool = paraphrases (+EDA),
+    ranking picks the epoch-th most similar, and the fixed
+    last-loop-assignment reference bug stays fixed (per-sentence pick)."""
+    import torch
+
+    cfg = build_config(max_text_len=12, type_txt_augm=("PEGASUS",),
+                       num_return_sequences=3, num_beams=3)
+    ta = TextAugmentation(cfg, tok, use_pegasus=False)
+
+    calls = {}
+
+    class FakePegasusTok:
+        def __call__(self, sents, **kw):
+            calls["input"] = list(sents)
+            return {"input_ids": torch.zeros((1, 4), dtype=torch.long)}
+
+        def batch_decode(self, gen, skip_special_tokens=True):
+            s = calls["input"][0]
+            return [s + " rephrased", "totally different words entirely",
+                    s]
+
+    class FakePegasus:
+        def generate(self, input_ids=None, max_length=None, num_beams=None,
+                     num_return_sequences=None, **kw):
+            calls["num_beams"] = num_beams
+            calls["num_return_sequences"] = num_return_sequences
+            return torch.zeros((num_return_sequences, 4), dtype=torch.long)
+
+    class FakeRanker:
+        """Embeds a sentence as a bag-of-words indicator -> cosine ranks
+        by word overlap, like SBERT would for these toy inputs."""
+        def encode(self, x, show_progress_bar=False):
+            sents = [x] if isinstance(x, str) else list(x)
+            vocab = sorted({w for s in sents for w in s.split()} | {"_"})
+            out = np.zeros((len(sents), 64), np.float32)
+            for i, s in enumerate(sents):
+                for w in s.split():
+                    out[i, hash(w) % 64] += 1.0
+            return out[0] if isinstance(x, str) else out
+
+    class FakeUtil:
+        @staticmethod
+        def pytorch_cos_sim(a, b):
+            a = torch.nn.functional.normalize(a.float(), dim=-1)
+            b = torch.nn.functional.normalize(b.float(), dim=-1)
+            return a @ b.T
+
+    ta.pegasus = FakePegasus()
+    ta.pegasus_tok = FakePegasusTok()
+    ta.ranker = FakeRanker()
+    ta._util = FakeUtil()
+
+    texts0, ids, masks = ta.augment(["a dog runs"], epoch=0)
+    assert calls["num_beams"] == 3 and calls["num_return_sequences"] == 3
+    # epoch 0 -> most similar candidate = the identical paraphrase
+    assert texts0[0] == "a dog runs"
+    texts1, _, _ = ta.augment(["a dog runs"], epoch=1)
+    assert texts1[0] == "a dog runs rephrased"
+    # least similar last
+    texts2, _, _ = ta.augment(["a dog runs"], epoch=2)
+    assert texts2[0] == "totally different words entirely"
+    assert ids.shape == (1, 12) and masks.shape == (1, 12)

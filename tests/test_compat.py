@@ -315,3 +315,61 @@ def test_load_timm_vit_linear_and_conv_patch_embed():
     np.testing.assert_allclose(
         np.asarray(conv["patch_embed"]["proj"]["kernel"]),
         np.asarray(conv2["patch_embed"]["proj"]["kernel"]))
+
+
+# ------------------------------------------- real published checkpoints
+# Auto-skipping harness for the public ViLT weights (reference EVAL.md:
+# vilt_200k_mlm_itm.ckpt etc.).  The environment this repo is built in
+# has no datasets or checkpoints mounted; the moment the weights land in
+# models_weight/ these tests light up without any code change.
+_CKPT_CANDIDATES = [
+    "models_weight/vilt_200k_mlm_itm.ckpt",
+    "../models_weight/vilt_200k_mlm_itm.ckpt",
+]
+_REAL_CKPT = next((p for p in _CKPT_CANDIDATES if __import__("os").path.isfile(p)), None)
+
+
+@pytest.mark.skipif(_REAL_CKPT is None,
+                    reason="public ViLT checkpoint not mounted in this env")
+def test_real_checkpoint_convert_and_forward():
+    """Full-size conversion of the published vilt_200k_mlm_itm weights +
+    a pinned-batch forward; runs the EVAL.md-style golden comparison when
+    a reference-side dump (models_weight/golden_vilt_200k.npz, produced
+    by scripts/make_golden_reference.py) is present."""
+    import os
+    from rmcl_tpu.compat.torch_loader import load_torch_checkpoint
+    from rmcl_tpu.compat.golden import compare_golden
+
+    cfg = build_config("task_mlm_itm", vit="vit32_base",
+                       image_bucket_hw=(384, 384), max_image_len=-1,
+                       use_pallas_attention=False, compute_dtype="float32",
+                       drop_rate=0.0, image_layout="hwc")
+    params, state = load_torch_checkpoint(_REAL_CKPT, cfg)
+    model = ViLTModel(cfg)
+
+    golden = os.path.join(os.path.dirname(_REAL_CKPT),
+                          "golden_vilt_200k.npz")
+    if os.path.isfile(golden):
+        errs = compare_golden(golden, model, params, atol=5e-3)
+        print("golden parity:", errs)
+        return
+
+    # no reference dump: assert the converted forward is finite and the
+    # MLM head reproduces tokens of an unmasked caption (weak but real
+    # signal that the layout conversion is correct end-to-end)
+    rng = np.random.RandomState(0)
+    img = rng.uniform(-1, 1, (1, 384, 384, 3)).astype(np.float32)
+    ids = np.array([[101, 1037, 3899, 2003, 2652, 1999, 1996, 2380,
+                     102, 0, 0, 0]], np.int32)  # "a dog is playing in the park"
+    masks = (ids != 0).astype(np.int32)
+    batch = {"image": jnp.asarray(img), "text_ids": jnp.asarray(ids),
+             "text_masks": jnp.asarray(masks),
+             "text_labels": jnp.full_like(jnp.asarray(ids), -100)}
+    out = model.infer(params, batch, deterministic=True)
+    assert np.isfinite(np.asarray(out["cls_feats"])).all()
+    from rmcl_tpu.models.heads import mlm_head
+    logits = np.asarray(mlm_head(params["mlm_score"], out["text_feats"]))
+    # an MLM head over unmasked text should mostly predict the input
+    pred = logits[0].argmax(-1)
+    agree = float((pred[1:8] == ids[0, 1:8]).mean())
+    assert agree > 0.5, f"MLM self-reconstruction too low: {agree}"

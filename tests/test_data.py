@@ -387,3 +387,52 @@ def test_loader_eval_wraparound(arrow_dir, tok):
     assert all(b["text_ids"].shape == (5, 12) for b in batches)
     l2 = DataLoader(ds, 5, cfn, shuffle=False, drop_last=True, num_workers=2)
     assert len(list(l2)) == 2             # train mode still drops
+
+
+def test_wwm_matches_hf_collator(tmp_path):
+    """Bit-exact mask-pattern parity with HF DataCollatorForWholeWordMask
+    (the reference's collator, vilt/datamodules/datamodule_base.py:57-61)
+    when both consume the same Mersenne stream: HF shuffles with the
+    global `random`, ours with `random.Random(seed)` — seeding both
+    identically must give identical label patterns.  The 80/10/10
+    replacement ids use different generators (torch vs numpy) and are
+    excluded; only the mask SELECTION is the WWM algorithm."""
+    import random as pyrandom
+    transformers = pytest.importorskip("transformers")
+    from transformers import BertTokenizer, DataCollatorForWholeWordMask
+
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "cat", "running", "jumping", "park",
+                            "small", "big", "the", "quick", "playground",
+                            "wonderful"])
+    ours = WordPieceTokenizer(vocab)
+    hf = BertTokenizer(vocab_file=vocab, do_lower_case=True)
+
+    sents = ["the quick dog running in the playground",
+             "a wonderful small cat jumping", "dog park", "big big dog",
+             "jumping jumping jumping wonderful"] * 4
+    T = 16
+    enc = ours(sents, max_length=T, return_tensors="np")
+
+    seed = 1234
+    coll = MLMCollator(ours, mlm_prob=0.15, whole_word=True, seed=seed)
+    _, labels = coll(enc["input_ids"], enc["special_tokens_mask"])
+    our_mask = labels != -100
+
+    # HF consumes the SAME stream via the seeded global random module
+    pyrandom.seed(seed)
+    hf_coll = DataCollatorForWholeWordMask(tokenizer=hf,
+                                           mlm_probability=0.15)
+    examples = []
+    for s in sents:
+        e = hf.encode(s)  # [CLS] ... [SEP], unpadded
+        assert len(e) <= T
+        examples.append({"input_ids": e})
+    out = hf_coll(examples)
+    hf_labels = out["labels"].numpy()
+    hf_mask = np.zeros_like(our_mask)
+    for i, ex in enumerate(examples):
+        L = len(ex["input_ids"])
+        hf_mask[i, :L] = hf_labels[i, :L] != -100
+
+    np.testing.assert_array_equal(our_mask, hf_mask)
