@@ -135,6 +135,8 @@ def main():
         max_steps=200000,
         remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"),
+        drop_rate=float(os.environ.get("BENCH_DROPOUT", "0.1")),
+        dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)

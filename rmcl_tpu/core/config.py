@@ -163,6 +163,13 @@ class RMCLConfig:
     # explicit attention implementation: "" (derive from the flag above)
     # | "xla" | "pallas" (rmcl kernel) | "flash" (jax library TPU kernel)
     attention_impl: str = ""
+    # dropout mask bit source: "fp32" (threefry bernoulli) | "pack8"
+    # (byte lanes from 8x fewer threefry words) | "rbg" (hardware RNG).
+    # Measured on v5e b16: threefry dropout costs 54 ms of the 260 ms
+    # RMCL step (replayed under remat); rbg recovers all of it (77.5 vs
+    # 61.4 pairs/s), pack8 most (72.0).  Exact marginal rate either way;
+    # see models/layers.py:dropout and PARITY.md #15.
+    dropout_impl: str = "rbg"
     compute_dtype: str = "bfloat16"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -15,6 +15,7 @@ from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 INIT_STD = 0.02
 
@@ -64,11 +65,45 @@ def embedding(p, ids):
 
 
 # ---------------------------------------------------------------- dropout
-def dropout(x, rate: float, rng: Optional[jax.Array], deterministic: bool):
+def dropout(x, rate: float, rng: Optional[jax.Array], deterministic: bool,
+            impl: str = "fp32"):
+    """Inverted dropout.  `impl` picks how the keep-mask bits are drawn:
+
+    - "fp32": jax.random.bernoulli — the straightforward path.  With
+      partitionable threefry (jax default) this costs TWO threefry2x32
+      words per element; at ViLT-B b16 that's ~430M words per train
+      forward, replayed again under remat — measurable VPU time.
+    - "pack8": draw n/4 uint32 threefry words and use each byte as an
+      independent 8-bit lane (8× fewer words than fp32).  The keep
+      probability quantises to t/256 (t = round(keep*256)); the
+      inverse-scale uses the QUANTISED probability, so E[dropout(x)] = x
+      exactly — only the rate moves (0.1 -> 0.1016), within training
+      noise.  Lane independence is a threefry bit-quality guarantee.
+    - "rbg": XLA RngBitGenerator (hardware RNG on TPU) via a key
+      re-wrapped from the threefry key data; identical math to "fp32"
+      otherwise.  Not reproducible across backends/compiler versions —
+      fine for dropout, never used for data sampling.
+
+    The reference (torch nn.Dropout, CUDA Philox) has a different RNG
+    stream in every case; only the marginal rate is contract (PARITY.md).
+    """
     if deterministic or rate == 0.0 or rng is None:
         return x
     keep = 1.0 - rate
-    mask = jax.random.bernoulli(rng, keep, x.shape)
+    if impl == "pack8":
+        n = int(np.prod(x.shape))
+        words = jax.random.bits(rng, ((n + 3) // 4,), jnp.uint32)
+        lanes = jax.lax.bitcast_convert_type(
+            words, jnp.uint8).reshape(-1)[:n].reshape(x.shape)
+        t = max(1, min(255, int(round(keep * 256.0))))
+        return jnp.where(lanes < jnp.uint8(t), x * (256.0 / t), 0.0
+                         ).astype(x.dtype)
+    if impl == "rbg":
+        key = jax.random.wrap_key_data(
+            jnp.concatenate([rng, rng]).astype(jnp.uint32), impl="rbg")
+        mask = jax.random.bernoulli(key, keep, x.shape)
+    else:
+        mask = jax.random.bernoulli(rng, keep, x.shape)
     return jnp.where(mask, x / keep, 0.0).astype(x.dtype)
 
 

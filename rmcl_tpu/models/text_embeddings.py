@@ -24,7 +24,8 @@ def init_text_embeddings(key, vocab_size: int, hidden_size: int,
 
 def text_embeddings(params, input_ids, *, drop_rate: float = 0.0,
                     rng=None, deterministic: bool = True,
-                    dtype=jnp.float32, word_embeds=None):
+                    dtype=jnp.float32, word_embeds=None,
+                    dropout_impl: str = "fp32"):
     """input_ids: (B, T) int32 -> (B, T, H).
 
     `word_embeds` overrides the word-embedding lookup with explicit
@@ -39,5 +40,5 @@ def text_embeddings(params, input_ids, *, drop_rate: float = 0.0,
     tok = params["token_type_embeddings"]["weight"][0]
     x = x + pos[None, :, :] + tok[None, None, :]
     x = L.layer_norm(params["LayerNorm"], x.astype(dtype))
-    x = L.dropout(x, drop_rate, rng, deterministic)
+    x = L.dropout(x, drop_rate, rng, deterministic, impl=dropout_impl)
     return x

@@ -43,6 +43,7 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         remat=cfg.remat_blocks,
         remat_policy=cfg.remat_policy,
         attn_impl=cfg.attention_impl,
+        dropout_impl=cfg.dropout_impl,
     )
 
 
@@ -148,7 +149,8 @@ def infer(params, batch, *, cfg: RMCLConfig, spec: Optional[ViTSpec] = None,
     rngs = jax.random.split(rng, 3) if rng is not None else (None, None, None)
     text_embeds = text_embeddings(
         te, text_ids, drop_rate=cfg.drop_rate, rng=rngs[0],
-        deterministic=deterministic, dtype=dtype, word_embeds=word_embeds)
+        deterministic=deterministic, dtype=dtype, word_embeds=word_embeds,
+        dropout_impl=cfg.dropout_impl)
 
     if image_embeds is None and image_masks is None:
         img = batch[imgkey]

@@ -52,7 +52,8 @@ class ViTSpec(NamedTuple):
     remat: bool = False
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     attn_impl: str = ""         # "" -> derive from use_pallas; else
-                                # "xla" | "pallas" | "flash"
+                                # "xla" | "xla_bf16" | "pallas" | "flash"
+    dropout_impl: str = "fp32"  # "fp32" | "pack8" | "rbg" (layers.dropout)
 
     @property
     def patch_dim(self) -> int:
@@ -278,7 +279,8 @@ def visual_embed(params, img, *, spec: ViTSpec, max_image_len: int = -1,
     x = x + pos_full.astype(dtype)
     if not deterministic and rng is not None:
         rng, sub = jax.random.split(rng)
-        x = L.dropout(x, spec.drop_rate, sub, deterministic)
+        x = L.dropout(x, spec.drop_rate, sub, deterministic,
+                      impl=spec.dropout_impl)
 
     x_mask = jnp.concatenate(
         [jnp.ones((B, 1), jnp.int32), mask_flat.astype(jnp.int32)], axis=1)
@@ -397,14 +399,17 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
                             impl=spec.attn_impl or None)
     attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
     attn = L.linear(bp["attn"]["proj"], attn)
-    attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic)
+    attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic,
+                     impl=spec.dropout_impl)
     x = x + attn
 
     y = L.layer_norm(bp["norm2"], x, eps=VIT_LN_EPS)
     y = L.gelu(L.linear(bp["mlp"]["fc1"], y))
-    y = L.dropout(y, spec.drop_rate, rngs[1], deterministic)
+    y = L.dropout(y, spec.drop_rate, rngs[1], deterministic,
+                  impl=spec.dropout_impl)
     y = L.linear(bp["mlp"]["fc2"], y)
-    y = L.dropout(y, spec.drop_rate, rngs[2], deterministic)
+    y = L.dropout(y, spec.drop_rate, rngs[2], deterministic,
+                  impl=spec.dropout_impl)
     return x + y
 
 

@@ -31,6 +31,29 @@ def mha_xla(q, k, v, mask, scale: float):
     return out.astype(v.dtype)
 
 
+def mha_xla_bf16(q, k, v, mask, scale: float):
+    """XLA path with the S² score/prob tensors materialised in bf16.
+
+    The (B, H, S, S) scores and probabilities dominate the attention's
+    HBM traffic (fp32: ~45 MB/layer/fwd at b16, S=241); keeping them in
+    bf16 halves it.  Softmax REDUCTIONS still run in fp32 (max/sum over
+    upcast values), so only the stored exponentials lose mantissa — the
+    row-max subtraction keeps them in [0, 1] where bf16's relative error
+    is ~0.4%, well inside training noise.  Numerics vs `mha_xla` are
+    validated in tests/test_ops.py."""
+    scores = jnp.einsum("bhsd,bhtd->bhst", q, k,
+                        preferred_element_type=jnp.float32) * scale
+    bias = jnp.where(mask[:, None, None, :] > 0, 0.0, _NEG_INF)
+    s = (scores + bias).astype(jnp.bfloat16)
+    m = jnp.max(s.astype(jnp.float32), axis=-1, keepdims=True)
+    p = jnp.exp(s.astype(jnp.float32) - m)
+    denom = jnp.sum(p, axis=-1, keepdims=True)
+    probs = (p / denom).astype(jnp.bfloat16)
+    out = jnp.einsum("bhst,bhtd->bhsd", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32)
+    return out.astype(v.dtype)
+
+
 def mha_jax_flash(q, k, v, mask, scale: float):
     """jax.experimental.pallas TPU flash kernel with segment-id masking:
     pad keys get their own segment so no query attends to them.  Pad-row
@@ -54,9 +77,10 @@ def masked_attention(q, k, v, mask, scale: float,
                      use_pallas: bool = True,
                      impl: Optional[str] = None,
                      return_probs: bool = False):
-    """Fused masked MHSA.  impl: "xla" | "pallas" (rmcl kernel) |
-    "flash" (jax library TPU kernel); `use_pallas` kept for backward
-    compat (maps to "pallas").
+    """Fused masked MHSA.  impl: "xla" | "xla_bf16" (S² tensors in
+    bf16, fp32 softmax math) | "pallas" (rmcl kernel) | "flash" (jax
+    library TPU kernel); `use_pallas` kept for backward compat (maps to
+    "pallas").
 
     Falls back to XLA when not on TPU (CPU tests) or when the attention
     probabilities are requested (demo heatmaps need them — reference
@@ -71,7 +95,14 @@ def masked_attention(q, k, v, mask, scale: float,
                          preferred_element_type=jnp.float32).astype(v.dtype)
         return out, probs
     if impl is None:
-        impl = "pallas" if use_pallas else "xla"
+        # default: bf16 S² materialisation on TPU (halves the attention
+        # HBM traffic, 64.6 vs 61.4 pairs/s on the v5e RMCL step; bf16
+        # rounding only — see PARITY.md #15), full fp32 elsewhere (CPU
+        # tests compare against torch at tight tolerances).
+        impl = ("pallas" if use_pallas
+                else ("xla_bf16" if _pallas_ok() else "xla"))
+    if impl == "xla_bf16":
+        return mha_xla_bf16(q, k, v, mask, scale)
     if impl != "xla" and _pallas_ok():
         if impl == "flash":
             return mha_jax_flash(q, k, v, mask, scale)

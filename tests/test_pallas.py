@@ -11,7 +11,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rmcl_tpu.ops.attention import mha_xla
+from rmcl_tpu.ops.attention import mha_xla, mha_xla_bf16
 from rmcl_tpu.ops.pallas_attention import flash_masked_attention
 
 
@@ -47,6 +47,34 @@ def test_pallas_backward_matches_xla(qkvm):
     gx = jax.grad(lx, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gp, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-5)
+
+
+def test_xla_bf16_close_to_fp32(qkvm):
+    """bf16-materialised scores/probs stay within bf16 rounding of the
+    fp32 path (forward and input grads)."""
+    q, k, v, mask, scale = qkvm
+    ours = mha_xla_bf16(q, k, v, mask, scale)
+    ref = mha_xla(q, k, v, mask, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-2, rtol=3e-2)
+
+    gb = jax.grad(lambda *a: jnp.sum(jnp.sin(mha_xla_bf16(*a, mask, scale))),
+                  argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(lambda *a: jnp.sum(jnp.sin(mha_xla(*a, mask, scale))),
+                  argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gb, gx):
+        err = np.abs(np.asarray(a) - np.asarray(b)).max()
+        assert err < 0.15, err  # bf16 S² rounding, not a wrong gradient
+
+
+def test_xla_bf16_padded_positions_ignored(qkvm):
+    q, k, v, mask, scale = qkvm
+    out1 = mha_xla_bf16(q, k, v, mask, scale)
+    v2 = jnp.where(mask[:, None, :, None] > 0, v, 123.0)
+    k2 = jnp.where(mask[:, None, :, None] > 0, k, -55.0)
+    out2 = mha_xla_bf16(q, k2, v2, mask, scale)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
+                               atol=2e-2)
 
 
 def test_pallas_padded_positions_ignored(qkvm):
