@@ -97,6 +97,9 @@ def _greedy_setup(cfg, model, batch_size):
             f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
     syn = SynonymTable(emb, cfg.n_candidates, cfg.sim_thred)
     greedy = GreedyAttackMoco(cfg, model, tok, syn)
+    if os.environ.get("BENCH_GREEDY_IMPL", "fused") == "fused":
+        from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+        greedy = FusedGreedyAttack(greedy)
 
     content = [w for w in _GREEDY_WORDS if w not in
                ("in", "the", "a", "on", "with", "near")]

@@ -1,0 +1,357 @@
+"""Fully on-device greedy word-substitution attack (one XLA program).
+
+The host orchestrator (`attacks/greedy.py`, mirroring reference
+attack/greedy_attack_vilt.py:494-599) dispatches 2 device programs per
+loop (gradient pass + candidate scoring) with tokenisation between them
+— 2*max_loops host<->device round trips per batch.  On a remote-tunnel
+or congested-host deployment those dispatches dominate the entire RMCL
+step (measured: 2.7 s/batch over the axon tunnel vs ~0.6 s of actual
+device work).
+
+This module fuses the ENTIRE attack loop into ONE jitted program.  That
+is possible without changing semantics because of an invariant of the
+reference algorithm: a word index enters `history` when it is *picked*
+(greedy.py:339, reference :545), and history indices are never picked
+again — so every substitution candidate refers to an ORIGINAL word.
+All string work (decode, per-word tokenisation, synonym lookup) can
+therefore be precomputed host-side once per batch into static tables:
+
+    word_tok   (B, W, M)    sub-token ids of word w (padded)
+    word_len   (B, W)       number of sub-tokens
+    attackable (B, W)       not a stop/function word AND in the synonym
+                            vocabulary (greedy.py check_word + synonyms)
+    cand_tok   (B, W, NC, M) candidate sub-token ids
+    cand_len   (B, W, NC)
+    cand_valid (B, W, NC)   candidate differs from the original word
+                            (invalid slots hold the original word, like
+                            the host's pad-with-base-sentence rows)
+
+and the loop body becomes pure array work:
+  1. token-embedding gradient of the framework loss        [jax.grad]
+  2. word saliency = L1 norm of the mean sub-token grad    [gather+sum]
+  3. pick = argmax of saliency over eligible words         [argmax]
+     (host semantics: first eligible in descending-saliency order ==
+      argmax over the eligibility-masked saliency; ties break toward
+      the lower index here vs the higher index in numpy's reversed
+      stable argsort — meaningless for float gradients)
+  4. candidate sequences = sub-token splice via cumsum offsets +
+     scatter (re-tokenising a sentence whose words each keep their own
+     sub-tokens == concatenating per-word sub-tokens: WordPiece is
+     whitespace-separable, data/tokenizer.py:117-186)
+  5. one (B*NC) batched forward scores all candidates; commit the best
+     iff it raises the per-sample loss (strict >, greedy.py:364)
+  6. history/budget bookkeeping (<=20% of words and <= max_loops
+     changes per sentence)
+all inside a lax.fori_loop over max_loops.
+
+Parity with the host implementation is asserted exactly (same final
+token ids) in tests/test_attacks.py::test_fused_greedy_matches_host.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.attacks.greedy import GreedyAttack, check_word
+from rmcl_tpu.models.layers import embedding
+
+_NEG = -1e30
+
+
+def build_sequences(word_tok, word_len, T: int, cls_id: int, sep_id: int,
+                    pad_id: int):
+    """(B, W, M) per-word sub-tokens -> ([CLS] w0 w1 ... [SEP] pad) ids +
+    attention masks, truncated to T-2 sub-tokens exactly like
+    tokenizer.encode (data/tokenizer.py:189-204)."""
+    B, W, M = word_tok.shape
+    off = jnp.cumsum(word_len, axis=1) - word_len              # (B, W)
+    gpos = off[:, :, None] + jnp.arange(M)[None, None, :]      # (B, W, M)
+    valid = ((jnp.arange(M)[None, None, :] < word_len[:, :, None])
+             & (gpos < T - 2))
+    # invalid entries all land on scratch slot T-1, cleared below
+    pos = jnp.where(valid, gpos + 1, T - 1)
+    ids = jnp.full((B, T), pad_id, jnp.int32)
+    ids = ids.at[:, 0].set(cls_id)
+    b_idx = jnp.arange(B)[:, None, None]
+    ids = ids.at[b_idx, pos].set(word_tok.astype(jnp.int32))
+    total = jnp.minimum(jnp.sum(word_len, axis=1), T - 2)      # (B,)
+    ids = ids.at[jnp.arange(B), total + 1].set(sep_id)
+    tpos = jnp.arange(T)[None, :]
+    ids = jnp.where(tpos > total[:, None] + 1, pad_id, ids)
+    masks = (tpos <= total[:, None] + 1).astype(jnp.int32)
+    return ids, masks
+
+
+class FusedGreedyAttack:
+    """Drop-in for GreedyAttack.adv_attack_samples with the loop fused
+    on-device.  Wraps any GreedyAttack subclass and reuses its
+    loss_per_sample / score_candidates / tile_extras hooks unchanged."""
+
+    def __init__(self, base: GreedyAttack):
+        self.base = base
+        self._word_ids_cache: Dict[str, List[int]] = {}
+        self._cand_cache: Dict[str, List[str]] = {}
+        self._jit_cache: Dict[int, Any] = {}
+
+    # ------------------------------------------------------------- host
+    def _word_ids(self, w: str) -> List[int]:
+        ids = self._word_ids_cache.get(w)
+        if ids is None:
+            tok = self.base.tokenizer
+            ids = tok.convert_tokens_to_ids(tok.tokenize(w))
+            self._word_ids_cache[w] = ids
+        return ids
+
+    def _cands(self, w: str) -> List[str]:
+        c = self._cand_cache.get(w)
+        if c is None:
+            c = list(self.base.synonyms.candidates(w))[: self.base.n_candidates]
+            self._cand_cache[w] = c
+        return c
+
+    def _prep(self, ids0: np.ndarray):
+        """Decode once, build the static word/candidate tables."""
+        tok = self.base.tokenizer
+        B = ids0.shape[0]
+        W = self.base.max_length
+        NC = self.base.n_candidates
+        words_list = [tok.decode(ids, skip_special_tokens=True).split(" ")
+                      for ids in ids0]
+
+        # M bucket: longest sub-tokenisation among words AND candidates
+        m = 1
+        for words in words_list:
+            for w in words[:W]:
+                m = max(m, len(self._word_ids(w)))
+                lw = w.strip().lower()
+                if not check_word(lw) and lw in self.base.synonyms:
+                    for c in self._cands(lw):
+                        m = max(m, len(self._word_ids(c)))
+        M = 4
+        while M < m:
+            M *= 2
+
+        word_tok = np.zeros((B, W, M), np.int32)
+        word_len = np.zeros((B, W), np.int32)
+        attackable = np.zeros((B, W), bool)
+        cand_tok = np.zeros((B, W, NC, M), np.int32)
+        cand_len = np.zeros((B, W, NC), np.int32)
+        cand_valid = np.zeros((B, W, NC), bool)
+        nw = np.zeros((B,), np.int32)
+
+        for i, words in enumerate(words_list):
+            nw[i] = len(words)
+            for w_idx, w in enumerate(words[:W]):
+                ids = self._word_ids(w)
+                word_len[i, w_idx] = len(ids)
+                word_tok[i, w_idx, :len(ids)] = ids
+                lw = w.strip().lower()
+                ok = not check_word(lw) and lw in self.base.synonyms
+                attackable[i, w_idx] = ok
+                # invalid candidate slots carry the original word so the
+                # scored sentence is the unmodified one (host pads rows
+                # with the base sentence, greedy.py:347-349)
+                cand_tok[i, w_idx, :, :len(ids)] = ids
+                cand_len[i, w_idx, :] = len(ids)
+                if not ok:
+                    continue
+                for j, c in enumerate(self._cands(lw)):
+                    cids = self._word_ids(c)
+                    cand_tok[i, w_idx, j, :] = 0
+                    cand_tok[i, w_idx, j, :len(cids)] = cids
+                    cand_len[i, w_idx, j] = len(cids)
+                    cand_valid[i, w_idx, j] = c != w
+        return (word_tok, word_len, attackable, cand_tok, cand_len,
+                cand_valid, nw, words_list, M)
+
+    # ----------------------------------------------------------- device
+    def _build_fused(self, M: int):
+        base = self.base
+        tok = base.tokenizer
+        T = base.max_length
+        NC = base.n_candidates
+        cls_id, sep_id, pad_id = (tok.cls_token_id, tok.sep_token_id,
+                                  tok.pad_token_id)
+
+        def saliency(grads, word_len):
+            # (B, T, H), (B, W) -> (B, W)
+            off = jnp.cumsum(word_len, axis=1) - word_len
+            gpos = off[:, :, None] + jnp.arange(M)[None, None, :]
+            valid = jnp.arange(M)[None, None, :] < word_len[:, :, None]
+            pos = jnp.clip(gpos + 1, 0, T - 1)
+            b_idx = jnp.arange(grads.shape[0])[:, None, None]
+            g = grads[b_idx, pos] * valid[..., None]          # (B, W, M, H)
+            mean = g.sum(2) / jnp.maximum(word_len, 1)[..., None]
+            return jnp.abs(mean).sum(-1)
+
+        def fused(params, dev_batch, extras, word_tok, word_len,
+                  attackable, cand_tok, cand_len, cand_valid):
+            B, W = word_len.shape
+            rep_keys = {}
+            for key in ("text_labels", "image", "image_0", "image_1",
+                        "vqa_targets", "answers"):
+                if key in dev_batch:
+                    rep_keys[key] = jnp.repeat(dev_batch[key], NC, axis=0)
+
+            def body(carry):
+                (word_tok, word_len, history, n_changed,
+                 sal_c, per_c, aux_c, need_grad) = carry
+                ids, masks = build_sequences(word_tok, word_len, T,
+                                             cls_id, sep_id, pad_id)
+                batch = dict(dev_batch, text_ids=ids, text_masks=masks)
+
+                # per-sample losses/saliencies depend only on the
+                # sample's own text, which changes only on commit — so
+                # when NO sample committed last loop the cached values
+                # are exactly what a fresh grad pass would produce
+                # (deterministic forward, no dropout); skipping it is
+                # exact and saves ~1.5 fwd-equivalents per quiet loop.
+                def fresh(_):
+                    we = embedding(
+                        params["text_embeddings"]["word_embeddings"], ids)
+
+                    def scalar_loss(w):
+                        per, aux = base.loss_per_sample(
+                            params, batch, extras, word_embeds=w)
+                        return jnp.mean(per), (per, aux)
+
+                    grads, (per, aux) = jax.grad(
+                        scalar_loss, has_aux=True)(we)
+                    return (saliency(grads.astype(jnp.float32), word_len),
+                            per.astype(jnp.float32), aux)
+
+                sal, per_loss, aux = jax.lax.cond(
+                    need_grad, fresh, lambda _: (sal_c, per_c, aux_c),
+                    None)
+                # host mapping truncation (greedy.py:256-265): words stay
+                # eligible only while the running offset fits max_length
+                off_end = jnp.cumsum(word_len, axis=1)
+                incl = jnp.cumprod((off_end < T).astype(jnp.int32),
+                                   axis=1).astype(bool)
+                text_len = jnp.sum(masks, axis=1)
+                max_changes = jnp.minimum(
+                    (text_len.astype(jnp.float32) * 0.2).astype(jnp.int32),
+                    base.max_loops)
+                eligible = (attackable & incl & (~history)
+                            & (n_changed < max_changes)[:, None])
+                has_pick = jnp.any(eligible, axis=1)
+                pick = jnp.argmax(
+                    jnp.where(eligible, sal, _NEG), axis=1)      # (B,)
+
+                onehot = jax.nn.one_hot(pick, W, dtype=bool)      # (B, W)
+                b_idx = jnp.arange(B)
+                pick_tok = cand_tok[b_idx, pick]                  # (B,NC,M)
+                pick_len = cand_len[b_idx, pick]                  # (B,NC)
+                wt2 = jnp.where(onehot[:, None, :, None],
+                                pick_tok[:, :, None, :],
+                                word_tok[:, None])                # (B,NC,W,M)
+                wl2 = jnp.where(onehot[:, None, :],
+                                pick_len[:, :, None],
+                                word_len[:, None])                # (B,NC,W)
+                cids, cmasks = build_sequences(
+                    wt2.reshape(B * NC, W, M), wl2.reshape(B * NC, W),
+                    T, cls_id, sep_id, pad_id)
+
+                flat = dict(batch, **rep_keys)
+                flat["text_ids"] = cids
+                flat["text_masks"] = cmasks
+                scores = base.score_candidates(params, flat, B, NC,
+                                               extras, aux)
+                valid = cand_valid[b_idx, pick] & has_pick[:, None]
+                scores = jnp.where(valid, scores, _NEG)
+                best = jnp.argmax(scores, axis=1)                 # (B,)
+                improved = (scores[b_idx, best]
+                            > per_loss.astype(jnp.float32)) & has_pick
+
+                commit = improved[:, None] & onehot               # (B, W)
+                new_tok = jnp.where(
+                    commit[:, :, None],
+                    pick_tok[b_idx, best][:, None, :], word_tok)
+                new_len = jnp.where(
+                    commit, pick_len[b_idx, best][:, None], word_len)
+                history = history | (onehot & has_pick[:, None])
+                n_changed = n_changed + improved.astype(jnp.int32)
+                return ((new_tok, new_len, history, n_changed,
+                         sal, per_loss, aux, jnp.any(improved)),
+                        jnp.any(has_pick))
+
+            # while-loop with early exit: once NO sample has an eligible
+            # pick, the body is provably a no-op (no commits, history
+            # unchanged), so skipping the remaining iterations is exact.
+            # The reference (and the host path) burn all max_loops; real
+            # sentences exhaust their <=20%-of-words budget after 1-3
+            # loops, so this is a large saving at identical outputs.
+            def w_cond(state):
+                i, live, _ = state
+                return (i < base.max_loops) & live
+
+            def w_body(state):
+                i, _, carry = state
+                carry, any_pick = body(carry)
+                return i + 1, any_pick, carry
+
+            history0 = jnp.zeros((B, W), bool)
+            n0 = jnp.zeros((B,), jnp.int32)
+            # aux prototype for the grad-reuse carry (zeros of the
+            # framework's aux structure; need_grad=True on entry so the
+            # first body always computes fresh values)
+            ids0_, masks0_ = build_sequences(word_tok, word_len, T,
+                                             cls_id, sep_id, pad_id)
+            batch0 = dict(dev_batch, text_ids=ids0_, text_masks=masks0_)
+            aux_sd = jax.eval_shape(
+                lambda p, b: base.loss_per_sample(p, b, extras)[1],
+                params, batch0)
+            aux0 = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype),
+                                aux_sd)
+            sal0 = jnp.zeros((B, W), jnp.float32)
+            per0 = jnp.zeros((B,), jnp.float32)
+            _, _, (word_tok, word_len, _, n_changed,
+                   *_rest) = jax.lax.while_loop(
+                w_cond, w_body,
+                (jnp.int32(0), jnp.bool_(True),
+                 (word_tok, word_len, history0, n0,
+                  sal0, per0, aux0, jnp.bool_(True))))
+            ids, masks = build_sequences(word_tok, word_len, T,
+                                         cls_id, sep_id, pad_id)
+            return ids, masks, n_changed
+
+        return jax.jit(fused)
+
+    # -------------------------------------------------------------- main
+    def adv_attack_samples(self, params, batch: Dict[str, Any],
+                           extras) -> Dict[str, Any]:
+        ids0 = np.asarray(batch["text_ids"])
+        (word_tok, word_len, attackable, cand_tok, cand_len, cand_valid,
+         nw, words_list, M) = self._prep(ids0)
+
+        fn = self._jit_cache.get(M)
+        if fn is None:
+            fn = self._jit_cache[M] = self._build_fused(M)
+
+        dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
+                     if not isinstance(v, (list, str))}
+        ids, masks, n_changed = fn(
+            params, dev_batch, extras, jnp.asarray(word_tok),
+            jnp.asarray(word_len), jnp.asarray(attackable),
+            jnp.asarray(cand_tok), jnp.asarray(cand_len),
+            jnp.asarray(cand_valid))
+        ids = np.asarray(ids)
+        masks = np.asarray(masks)
+        n_changed = np.asarray(n_changed)
+
+        tok = self.base.tokenizer
+        change_rate = n_changed / np.maximum(nw, 1)
+        return {
+            "txt_input_ids": ids,
+            "text_masks": masks,
+            "text": [tok.decode(row, skip_special_tokens=True)
+                     for row in ids],
+            "num_changes": float(n_changed.mean()),
+            "change_rate": float(change_rate.mean()),
+            "Problem": bool((n_changed == 0).any()),
+            "changes_verification": [int(c) for c in n_changed],
+        }

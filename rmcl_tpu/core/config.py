@@ -163,6 +163,11 @@ class RMCLConfig:
     # explicit attention implementation: "" (derive from the flag above)
     # | "xla" | "pallas" (rmcl kernel) | "flash" (jax library TPU kernel)
     attention_impl: str = ""
+    # greedy text attack scheduling: "fused" runs the whole max_loops
+    # substitution loop as ONE on-device XLA program (2 dispatches per
+    # batch instead of 2*max_loops; attacks/greedy_fused.py); "host"
+    # keeps the per-loop host orchestration (reference scheduling).
+    greedy_impl: str = "fused"
     # dropout mask bit source: "fp32" (threefry bernoulli) | "pack8"
     # (byte lanes from 8x fewer threefry words) | "rbg" (hardware RNG).
     # Measured on v5e b16: threefry dropout costs 54 ms of the 260 ms

@@ -76,7 +76,11 @@ def build_greedy_attacker(cfg: RMCLConfig, model, tokenizer):
                              cfg.sim_thred, cache_path=cfg.sim_path or None)
     else:
         syn = G.WordnetSynonyms(cfg.n_candidates)
-    return cls(cfg, model, tokenizer, syn)
+    attacker = cls(cfg, model, tokenizer, syn)
+    if cfg.greedy_impl == "fused":
+        from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+        attacker = FusedGreedyAttack(attacker)
+    return attacker
 
 
 def make_greedy_extras_fn(cfg: RMCLConfig, model):

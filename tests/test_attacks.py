@@ -195,3 +195,43 @@ def test_greedy_attack_moco_end_to_end(moco_setup, tiny_tok, tiny_synonyms):
         for ow, nw in zip(orig.split(), new.split()):
             if ow != nw:
                 assert nw in tiny_synonyms.candidates(ow), (ow, nw)
+
+def test_fused_greedy_matches_host(moco_setup, tiny_tok, tiny_synonyms):
+    """The on-device fused loop (attacks/greedy_fused.py) must reproduce
+    the host orchestrator's final token ids exactly: same decode ->
+    saliency -> pick -> candidate -> commit trajectory, no RNG."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+
+    cfg, model, params, state = _moco_model_and_batch(
+        moco_setup, tiny_tok.vocab_size)
+    sentences = ["dog runs in park", "cat sits in street",
+                 "big red car on road", "the a on in"]  # last: no targets
+    ids, masks = tiny_tok.batch_encode(sentences, cfg.max_text_len)
+    fb = make_fake_batch(cfg, batch=len(sentences))
+    batch = {
+        "image": fb["image"],
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+    }
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    infer_k = model.infer_k(params, dev, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+    extras = (k, state["proj_queue"], cfg.temperature)
+
+    host = GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms)
+    fused = FusedGreedyAttack(
+        GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms))
+
+    out_h = host.adv_attack_samples(params, batch, extras)
+    out_f = fused.adv_attack_samples(params, batch, extras)
+
+    np.testing.assert_array_equal(out_f["txt_input_ids"],
+                                  out_h["txt_input_ids"])
+    np.testing.assert_array_equal(out_f["text_masks"], out_h["text_masks"])
+    assert out_f["changes_verification"] == out_h["changes_verification"]
+    assert out_f["text"] == out_h["text"]
+    assert out_f["num_changes"] == out_h["num_changes"]
+    assert abs(out_f["change_rate"] - out_h["change_rate"]) < 1e-9
+    # something actually changed somewhere (attack effectiveness)
+    assert out_f["num_changes"] > 0
