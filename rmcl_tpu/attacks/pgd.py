@@ -60,10 +60,14 @@ def _fast_visual(model, frozen, batch, imgkey: str = "image",
     (B, L, P*P*3) shape, and to_full(delta_sel) expands δ back to the
     batch's image layout (patch rows or HWC canvas)."""
     cfg = model.cfg
-    # keep the training remat setting: the step is HBM-bound, so remat's
-    # recompute is cheaper than writing one forward's activations out
-    # (measured b16 pgd-iter: 19.9 ms with remat vs 22.3 ms without)
+    # default: keep the training remat setting (the step is HBM-bound,
+    # so remat's recompute is cheaper than writing one forward's
+    # activations out — measured b16 pgd-iter: 19.9 ms with remat vs
+    # 22.3 ms without, fp32-S² era).  cfg.pgd_remat overrides for the
+    # attack only (re-measure after attention/dropout dtype changes).
     spec = model.spec
+    if cfg.pgd_remat is not None and cfg.pgd_remat != spec.remat:
+        spec = spec._replace(remat=cfg.pgd_remat)
     img = batch[imgkey]
     hwc = img.ndim == 4
     tr = frozen["transformer"]

@@ -180,6 +180,11 @@ class RMCLConfig:
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_blocks: bool = False  # jax.checkpoint each transformer block
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
+    # override remat INSIDE the PGD attack loop only (None = inherit
+    # remat_blocks); the attack differentiates w.r.t. the image delta,
+    # not params, so its activation live-set is smaller than the train
+    # step's and the trade-off can differ (attacks/pgd.py)
+    pgd_remat: Optional[bool] = None
     # batch the MoCo clean+attacked view forwards into one 4B pass
     # (same math, one rng stream instead of per-view streams).
     # Measured SLOWER on v5e at b16 (45.7 vs 56.8 pairs/s — the larger

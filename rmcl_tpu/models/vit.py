@@ -384,7 +384,12 @@ def scatter_delta(prep: VisualPrep, delta_sel):
 # ---------------------------------------------------------------- blocks
 def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
                   deterministic: bool = True):
-    """Pre-norm transformer block (reference vision_transformer.py:335-376)."""
+    """Pre-norm transformer block (reference vision_transformer.py:335-376).
+
+    Activations stay (B, S, C): a flat (B*S, C) variant measured 0.8
+    ms/stack FASTER forward-only (ROADMAP fwd decomposition) but 28%
+    SLOWER at full-step level (255 vs 199 ms b16) — the reshape in/out
+    of the remat'd scan body breaks XLA's backward fusion."""
     B, S, C = x.shape
     Hh, D = spec.num_heads, spec.head_dim
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3

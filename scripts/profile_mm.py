@@ -14,7 +14,8 @@ import time
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-ITERS = int(os.environ.get("PROF_ITERS", "8"))
+ITERS = int(os.environ.get("PROF_ITERS", "200"))  # >=200: amortise the O(50 ms)
+# tunnel dispatch+fetch overhead to <0.3 ms/iter (see ROADMAP timing notes)
 
 
 def main():

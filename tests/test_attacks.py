@@ -235,3 +235,59 @@ def test_fused_greedy_matches_host(moco_setup, tiny_tok, tiny_synonyms):
     assert abs(out_f["change_rate"] - out_h["change_rate"]) < 1e-9
     # something actually changed somewhere (attack effectiveness)
     assert out_f["num_changes"] > 0
+
+def test_fused_greedy_matches_host_nlvr2_and_bt(moco_setup, tiny_tok,
+                                                tiny_synonyms):
+    """Fused-vs-host parity for the two structurally different
+    frameworks: NLVR2 (two-image infer, tiled labels) and BarlowTwins
+    (batch-coupled loss + aux carried through the grad-reuse cond)."""
+    from rmcl_tpu.attacks.greedy import (
+        GreedyAttackBarlowTwins, GreedyAttackNlvr2)
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    from rmcl_tpu.core.config import loss_names
+
+    sentences = ["dog runs in park", "cat sits in street"]
+    ids, masks = tiny_tok.batch_encode(sentences, 12)
+
+    # ---- NLVR2
+    cfg = moco_setup.replace(vocab_size=tiny_tok.vocab_size,
+                             loss_names=loss_names({"nlvr2_attacked": 1}))
+    model = ViLTModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(3))
+    batch = {
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+        "image_0": make_fake_batch(cfg)["image"],
+        "image_1": make_fake_batch(cfg, seed=7)["image"],
+    }
+    extras = (jnp.asarray([0, 1], jnp.int32),)
+    host = GreedyAttackNlvr2(cfg, model, tiny_tok, tiny_synonyms)
+    fused = FusedGreedyAttack(
+        GreedyAttackNlvr2(cfg, model, tiny_tok, tiny_synonyms))
+    oh = host.adv_attack_samples(params, batch, extras)
+    of = fused.adv_attack_samples(params, batch, extras)
+    np.testing.assert_array_equal(of["txt_input_ids"], oh["txt_input_ids"])
+    assert of["changes_verification"] == oh["changes_verification"]
+
+    # ---- BarlowTwins (batch-coupled loss; aux = q from the grad pass)
+    cfg = moco_setup.replace(vocab_size=tiny_tok.vocab_size,
+                             loss_names=loss_names({"barlowtwins": 1}))
+    model = ViLTModel(cfg)
+    params, _ = model.init(jax.random.PRNGKey(4))
+    batch = {
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+        "image": make_fake_batch(cfg)["image"],
+    }
+    D = params["barlowtwins_head"]["projector"]["6"]["kernel"].shape[1]
+    k = jnp.asarray(np.random.RandomState(9).randn(2, D), jnp.float32)
+    extras = (k, 2, cfg.adv_lr)
+    host = GreedyAttackBarlowTwins(cfg, model, tiny_tok, tiny_synonyms)
+    fused = FusedGreedyAttack(
+        GreedyAttackBarlowTwins(cfg, model, tiny_tok, tiny_synonyms))
+    oh = host.adv_attack_samples(params, batch, extras)
+    of = fused.adv_attack_samples(params, batch, extras)
+    np.testing.assert_array_equal(of["txt_input_ids"], oh["txt_input_ids"])
+    assert of["changes_verification"] == oh["changes_verification"]
