@@ -152,7 +152,7 @@ def main():
     rng = jax.random.PRNGKey(1)
 
     if GREEDY:
-        return bench_greedy(cfg, model, ts, step_fn, batch, rng)
+        return bench_greedy(cfg, model, ts, tx, step_fn, batch, rng)
 
     log("compiling...")
     t0 = time.perf_counter()
@@ -182,7 +182,7 @@ def main():
     }))
 
 
-def bench_greedy(cfg, model, ts, step_fn, batch, rng):
+def bench_greedy(cfg, model, ts, tx, step_fn, batch, rng):
     """Full hot path: host greedy text attack (reference
     vilt/modules/objectives.py:190-215 -> attack/greedy_attack_vilt.py:494)
     + the jitted RMCL step, serial vs host/device-overlapped
@@ -198,9 +198,16 @@ def bench_greedy(cfg, model, ts, step_fn, batch, rng):
     base["text_labels"] = jnp.full_like(jnp.asarray(ids), -100)
     extras_fn = make_greedy_extras_fn(cfg, model)
 
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    kw = {"fetch": False} if isinstance(greedy, FusedGreedyAttack) else {}
+
+    if (os.environ.get("BENCH_FUSE_STEP", "0") == "1"
+            and isinstance(greedy, FusedGreedyAttack)):
+        return bench_fused_step(cfg, model, ts, tx, greedy, base, ids, rng)
+
     def prepare(ts):
         extras = extras_fn(ts, base)
-        out = greedy.adv_attack_samples(ts.params, base, extras)
+        out = greedy.adv_attack_samples(ts.params, base, extras, **kw)
         return dict(base,
                     attacked_text_ids=jnp.asarray(out["txt_input_ids"]),
                     attacked_text_masks=jnp.asarray(out["text_masks"]))
@@ -250,6 +257,46 @@ def bench_greedy(cfg, model, ts, step_fn, batch, rng):
     # (35 pairs/s/GPU); the reference's own greedy attack costs far more
     # than ours per batch (serial eager scoring), so the ratio is a
     # conservative lower bound for the like-for-like speedup.
+    print(json.dumps({
+        "metric": "rmcl_moco_step_incl_greedy_pairs_per_sec_per_chip",
+        "value": round(BATCH / dt, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(BATCH / dt / REF_PAIRS_PER_SEC_PER_GPU, 3),
+    }))
+
+
+def bench_fused_step(cfg, model, ts, tx, greedy, base, ids, rng):
+    """ONE-program hot path: attacker extras + fused greedy attack +
+    train step in a single XLA program (train/step.py
+    make_attacked_train_step).  Host work per step = the memoised
+    word/candidate table prep only."""
+    import jax  # noqa: F401
+    import jax.numpy as jnp
+    from rmcl_tpu.train.step import make_attacked_train_step
+
+    step2 = make_attacked_train_step(cfg, model, tx, greedy, donate=True)
+
+    def make_batch():
+        tables = greedy.prep_tables(ids)
+        return dict(base, **{k: jnp.asarray(v) for k, v in tables.items()})
+
+    log("compiling (fused attack+train step, ONE program)...")
+    t0 = time.perf_counter()
+    ts, metrics = step2(ts, make_batch(), rng)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"moco_loss={float(metrics['moco_loss']):.4f}")
+    for _ in range(WARMUP):
+        ts, metrics = step2(ts, make_batch(), rng)
+    _ = float(metrics["moco_loss"])
+
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ts, metrics = step2(ts, make_batch(), rng)
+    _ = float(metrics["moco_loss"])
+    dt = (time.perf_counter() - t0) / ITERS
+    log(f"fused-1prog step+attack {dt*1e3:7.1f} ms -> "
+        f"{BATCH/dt:6.1f} pairs/s  num_changes={float(metrics['num_changes']):.2f}")
+
     print(json.dumps({
         "metric": "rmcl_moco_step_incl_greedy_pairs_per_sec_per_chip",
         "value": round(BATCH / dt, 2),

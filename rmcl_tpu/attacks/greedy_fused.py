@@ -61,6 +61,11 @@ from rmcl_tpu.models.layers import embedding
 
 _NEG = -1e30
 
+# batch keys carrying the host-precomputed attack tables into the fully
+# fused attack+train step (train/step.py make_attacked_train_step)
+TABLE_KEYS = ("gw_tok", "gw_len", "gw_attackable", "gw_cand_tok",
+              "gw_cand_len", "gw_cand_valid", "gw_nw")
+
 
 def build_sequences(word_tok, word_len, T: int, cls_id: int, sep_id: int,
                     pad_id: int):
@@ -169,7 +174,13 @@ class FusedGreedyAttack:
                 cand_valid, nw, words_list, M)
 
     # ----------------------------------------------------------- device
-    def _build_fused(self, M: int):
+    def build_attack_body(self):
+        """The un-jitted fused attack: fn(params, dev_batch, extras,
+        word_tok, word_len, attackable, cand_tok, cand_len, cand_valid)
+        -> (ids, masks, n_changed).  Shape-polymorphic (M/W/B read from
+        the table shapes at trace time) so it can be embedded inside a
+        larger jitted program (train/step.py make_attacked_train_step)
+        or jitted standalone."""
         base = self.base
         tok = base.tokenizer
         T = base.max_length
@@ -177,7 +188,7 @@ class FusedGreedyAttack:
         cls_id, sep_id, pad_id = (tok.cls_token_id, tok.sep_token_id,
                                   tok.pad_token_id)
 
-        def saliency(grads, word_len):
+        def saliency(grads, word_len, M):
             # (B, T, H), (B, W) -> (B, W)
             off = jnp.cumsum(word_len, axis=1) - word_len
             gpos = off[:, :, None] + jnp.arange(M)[None, None, :]
@@ -191,6 +202,7 @@ class FusedGreedyAttack:
         def fused(params, dev_batch, extras, word_tok, word_len,
                   attackable, cand_tok, cand_len, cand_valid):
             B, W = word_len.shape
+            M = word_tok.shape[-1]
             rep_keys = {}
             for key in ("text_labels", "image", "image_0", "image_1",
                         "vqa_targets", "answers"):
@@ -221,7 +233,7 @@ class FusedGreedyAttack:
 
                     grads, (per, aux) = jax.grad(
                         scalar_loss, has_aux=True)(we)
-                    return (saliency(grads.astype(jnp.float32), word_len),
+                    return (saliency(grads.astype(jnp.float32), word_len, M),
                             per.astype(jnp.float32), aux)
 
                 sal, per_loss, aux = jax.lax.cond(
@@ -319,18 +331,34 @@ class FusedGreedyAttack:
                                          cls_id, sep_id, pad_id)
             return ids, masks, n_changed
 
-        return jax.jit(fused)
+        return fused
+
+    def prep_tables(self, ids0) -> Dict[str, np.ndarray]:
+        """Host precompute for the fully fused attack+train step: the
+        static word/candidate tables as a dict of TABLE_KEYS arrays to
+        merge into the batch (all batch-dim leading, shardable)."""
+        (wt, wl, att, ct, cl, cv, nw, _, _) = self._prep(np.asarray(ids0))
+        return {"gw_tok": wt, "gw_len": wl, "gw_attackable": att,
+                "gw_cand_tok": ct, "gw_cand_len": cl,
+                "gw_cand_valid": cv, "gw_nw": nw}
 
     # -------------------------------------------------------------- main
     def adv_attack_samples(self, params, batch: Dict[str, Any],
-                           extras) -> Dict[str, Any]:
+                           extras, fetch: bool = True) -> Dict[str, Any]:
+        """fetch=False keeps txt_input_ids/text_masks as DEVICE arrays
+        (they feed straight into the jitted train step — no host round
+        trip) and returns only the telemetry scalars on host via one
+        small n_changed fetch; "text"/"changes_verification" are
+        omitted.  fetch=True returns the host-side reference result
+        dict (same contract as GreedyAttack)."""
         ids0 = np.asarray(batch["text_ids"])
         (word_tok, word_len, attackable, cand_tok, cand_len, cand_valid,
          nw, words_list, M) = self._prep(ids0)
 
-        fn = self._jit_cache.get(M)
+        fn = self._jit_cache.get("fn")
         if fn is None:
-            fn = self._jit_cache[M] = self._build_fused(M)
+            # ONE jitted wrapper; jax retraces per (B, W, M) shape bucket
+            fn = self._jit_cache["fn"] = jax.jit(self.build_attack_body())
 
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
                      if not isinstance(v, (list, str))}
@@ -339,19 +367,21 @@ class FusedGreedyAttack:
             jnp.asarray(word_len), jnp.asarray(attackable),
             jnp.asarray(cand_tok), jnp.asarray(cand_len),
             jnp.asarray(cand_valid))
-        ids = np.asarray(ids)
-        masks = np.asarray(masks)
         n_changed = np.asarray(n_changed)
-
-        tok = self.base.tokenizer
         change_rate = n_changed / np.maximum(nw, 1)
-        return {
+        out = {
             "txt_input_ids": ids,
             "text_masks": masks,
-            "text": [tok.decode(row, skip_special_tokens=True)
-                     for row in ids],
             "num_changes": float(n_changed.mean()),
             "change_rate": float(change_rate.mean()),
             "Problem": bool((n_changed == 0).any()),
             "changes_verification": [int(c) for c in n_changed],
         }
+        if fetch:
+            ids = np.asarray(ids)
+            tok = self.base.tokenizer
+            out["txt_input_ids"] = ids
+            out["text_masks"] = np.asarray(masks)
+            out["text"] = [tok.decode(row, skip_special_tokens=True)
+                           for row in ids]
+        return out

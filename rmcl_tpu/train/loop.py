@@ -277,10 +277,15 @@ class Trainer:
         if self._extras_fn is None:
             self._extras_fn = make_greedy_extras_fn(self.cfg, self.model)
         extras = self._extras_fn(self.ts, db)
-        out = self.greedy.adv_attack_samples(self.ts.params, db, extras)
+        from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+        kw = ({"fetch": False} if isinstance(self.greedy, FusedGreedyAttack)
+              else {})
+        out = self.greedy.adv_attack_samples(self.ts.params, db, extras, **kw)
+        # fused path: ids/masks stay DEVICE arrays all the way into the
+        # jitted step (no host round trip); host path: numpy as before
         batch = dict(batch,
-                     attacked_text_ids=np.asarray(out["txt_input_ids"]),
-                     attacked_text_masks=np.asarray(out["text_masks"]))
+                     attacked_text_ids=out["txt_input_ids"],
+                     attacked_text_masks=out["text_masks"])
         bag = bag if bag is not None else self.train_metrics
         bag.extra.setdefault("num_changes", Scalar()).update(
             out["num_changes"])

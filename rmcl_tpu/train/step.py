@@ -240,7 +240,11 @@ def make_train_step(cfg: RMCLConfig, model: ViLTModel,
     batch dim-0 sharded over the ``data`` axis.
     """
     lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
+    train_step = _train_step_body(cfg, model, tx, lr_sched)
+    return _jit_step(train_step, mesh, donate)
 
+
+def _train_step_body(cfg: RMCLConfig, model: ViLTModel, tx, lr_sched):
     def train_step(ts: TrainState, batch, rng):
         def loss_fn(p):
             total, ret, new_p, new_s = compute_all_tasks(
@@ -271,6 +275,10 @@ def make_train_step(cfg: RMCLConfig, model: ViLTModel,
                             state=new_state, step=ts.step + 1)
         return new_ts, metrics
 
+    return train_step
+
+
+def _jit_step(train_step, mesh, donate: bool):
     if mesh is not None:
         from rmcl_tpu.parallel.sharding_rules import MODEL_AXIS
         repl = replicated_sharding(mesh)
@@ -291,6 +299,65 @@ def make_train_step(cfg: RMCLConfig, model: ViLTModel,
             donate_argnums=(0,) if donate else (),
         )
     return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+# ------------------------------------------- fused attack + train step
+def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
+                             tx: optax.GradientTransformation,
+                             greedy, mesh=None,
+                             max_steps: Optional[int] = None,
+                             donate: bool = True) -> Callable:
+    """ONE XLA program for the full RMCL hot path: in-graph attacker
+    extras (post-EMA key projection, reference objectives.py:256-285) ->
+    the fused greedy text attack (attacks/greedy_fused.py) -> the train
+    step.  The host supplies only the precomputed word/candidate tables
+    (greedy.prep_tables) under TABLE_KEYS batch keys; everything else,
+    including the attacked ids handoff, stays on device.  Currently for
+    the moco framework (the reference's RMCL pretrain step).
+
+    vs the 3-program pipeline (extras + attack + step): identical math,
+    minus two dispatches and the duplicated key forward the separate
+    extras program paid.
+    """
+    from rmcl_tpu.attacks.greedy_fused import TABLE_KEYS, FusedGreedyAttack
+    from rmcl_tpu.models.heads import moco_head
+    from rmcl_tpu.objectives.contrastive import momentum_update
+    from rmcl_tpu.objectives.losses import l2_normalize
+
+    assert isinstance(greedy, FusedGreedyAttack), \
+        "make_attacked_train_step needs the fused greedy attacker"
+    assert cfg.loss_names.get("moco", 0) >= 1, \
+        "fused attack+step currently supports the moco framework"
+    lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
+    base_body = _train_step_body(cfg, model, tx, lr_sched)
+    attack_body = greedy.build_attack_body()
+
+    def attacked_step(ts: TrainState, batch, rng):
+        tables = [batch[k] for k in TABLE_KEYS[:-1]]
+        nw = batch["gw_nw"]
+        clean = {k: v for k, v in batch.items() if k not in TABLE_KEYS}
+
+        # attacker extras: post-EMA key projection (the same update the
+        # loss recomputes in-graph; reference runs the attack after the
+        # momentum update)
+        p2 = momentum_update(ts.params, cfg.momentum)
+        infer_k = model.infer_k(p2, clean, deterministic=True)
+        k = jax.lax.stop_gradient(l2_normalize(
+            moco_head(p2["k_moco_head"], infer_k["cls_feats"]), axis=1))
+        extras = (k, ts.state["proj_queue"], cfg.temperature)
+
+        ids, masks, n_changed = attack_body(
+            ts.params, clean, extras, *tables)
+        batch2 = dict(clean, attacked_text_ids=ids,
+                      attacked_text_masks=masks)
+        new_ts, metrics = base_body(ts, batch2, rng)
+        nchf = n_changed.astype(jnp.float32)
+        metrics["num_changes"] = jnp.mean(nchf)
+        metrics["change_rate"] = jnp.mean(
+            nchf / jnp.maximum(nw.astype(jnp.float32), 1.0))
+        return new_ts, metrics
+
+    return _jit_step(attacked_step, mesh, donate)
 
 
 # -------------------------------------------------------------- eval step

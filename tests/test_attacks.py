@@ -291,3 +291,55 @@ def test_fused_greedy_matches_host_nlvr2_and_bt(moco_setup, tiny_tok,
     of = fused.adv_attack_samples(params, batch, extras)
     np.testing.assert_array_equal(of["txt_input_ids"], oh["txt_input_ids"])
     assert of["changes_verification"] == oh["changes_verification"]
+
+def test_attacked_train_step_one_program_parity(moco_setup, tiny_tok,
+                                                tiny_synonyms):
+    """make_attacked_train_step (extras + fused attack + train step in
+    ONE jitted program) must match the 3-program pipeline: same attacked
+    ids -> same loss and same updated params."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    from rmcl_tpu.core.config import loss_names
+    from rmcl_tpu.train.loop import make_greedy_extras_fn
+    from rmcl_tpu.train.step import (
+        create_train_state, make_attacked_train_step, make_train_step)
+
+    cfg = moco_setup.replace(
+        vocab_size=tiny_tok.vocab_size, text_view=True, image_view=True,
+        adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+        num_negative=16, momentum=0.99, warmup_steps=0, max_steps=100)
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    fused = FusedGreedyAttack(
+        GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms))
+
+    ids, masks = tiny_tok.batch_encode(
+        ["dog runs in park", "cat sits in street"], cfg.max_text_len)
+    fb = make_fake_batch(cfg)
+    batch = {
+        "image": jnp.asarray(fb["image"]),
+        "text_ids": jnp.asarray(ids, jnp.int32),
+        "text_masks": jnp.asarray(masks, jnp.int32),
+        "text_labels": jnp.full_like(jnp.asarray(ids), -100),
+    }
+    rng = jax.random.PRNGKey(7)
+
+    # ---- 3-program pipeline: extras -> attack -> step
+    extras = make_greedy_extras_fn(cfg, model)(ts, batch)
+    out = fused.adv_attack_samples(ts.params, batch, extras)
+    b2 = dict(batch,
+              attacked_text_ids=jnp.asarray(out["txt_input_ids"]),
+              attacked_text_masks=jnp.asarray(out["text_masks"]))
+    ts1, m1 = make_train_step(cfg, model, tx, donate=False)(ts, b2, rng)
+
+    # ---- ONE program
+    tables = {k: jnp.asarray(v)
+              for k, v in fused.prep_tables(ids).items()}
+    step2 = make_attacked_train_step(cfg, model, tx, fused, donate=False)
+    ts2, m2 = step2(ts, dict(batch, **tables), rng)
+
+    np.testing.assert_allclose(float(m1["moco_loss"]),
+                               float(m2["moco_loss"]), rtol=1e-5)
+    w1 = np.asarray(ts1.params["moco_head"]["projector"]["0"]["kernel"])
+    w2 = np.asarray(ts2.params["moco_head"]["projector"]["0"]["kernel"])
+    np.testing.assert_allclose(w1, w2, atol=1e-6)
+    assert float(m2["num_changes"]) == out["num_changes"]
+    assert abs(float(m2["change_rate"]) - out["change_rate"]) < 1e-6
