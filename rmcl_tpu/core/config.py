@@ -168,6 +168,12 @@ class RMCLConfig:
     # batch instead of 2*max_loops; attacks/greedy_fused.py); "host"
     # keeps the per-loop host orchestration (reference scheduling).
     greedy_impl: str = "fused"
+    # compile attacker extras + greedy attack + train step into ONE XLA
+    # program (train/step.py make_attacked_train_step; moco framework
+    # with greedy_impl="fused").  Measured b16 v5e hot path: 871 ms
+    # (separate programs) -> 782 ms.  Parity with the pipeline is
+    # asserted in tests (same loss, same updated params).
+    fuse_attack_step: bool = True
     # dropout mask bit source: "fp32" (threefry bernoulli) | "pack8"
     # (byte lanes from 8x fewer threefry words) | "rbg" (hardware RNG).
     # Measured on v5e b16: threefry dropout costs 54 ms of the 260 ms

@@ -35,8 +35,12 @@ from rmcl_tpu.train.step import (
 
 
 def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
+    # jax.Array values pass straight through: the fused greedy attack
+    # returns attacked ids as DEVICE arrays (fetch=False) that must not
+    # be dropped or round-tripped through host numpy
     db = {k: jnp.asarray(v) for k, v in batch.items()
-          if isinstance(v, np.ndarray) and not k.startswith("_")}
+          if isinstance(v, (np.ndarray, jax.Array))
+          and not k.startswith("_")}
     if mesh is None:
         return db
     if jax.process_count() > 1:
@@ -216,16 +220,6 @@ class Trainer:
         self.model, self.ts, self.tx = create_train_state(
             jax.random.PRNGKey(cfg.seed), cfg, max_steps=self.max_steps,
             params=params, state=state)
-        self.step_fn = make_train_step(cfg, self.model, self.tx,
-                                       mesh=self.mesh,
-                                       max_steps=self.max_steps,
-                                       donate=True)
-        self.eval_fn = make_eval_step(cfg, self.model, mesh=self.mesh)
-        self.ckpt = CheckpointManager(self.workdir)
-        if cfg.resume_from and self.ckpt.has("last"):
-            self.ts = self.ckpt.restore(self.ts, "last")
-            self.steps_done = int(self.ts.step)
-
         self.greedy = None
         self.text_augment = None
         self.image_augment = None
@@ -243,6 +237,28 @@ class Trainer:
         elif cfg.text_view:
             self.greedy = build_greedy_attacker(cfg, self.model,
                                                 self.dm.tokenizer)
+
+        from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+        self._fused_step = (cfg.fuse_attack_step
+                            and isinstance(self.greedy, FusedGreedyAttack)
+                            and cfg.loss_names.get("moco", 0) >= 1)
+        if self._fused_step:
+            # ONE XLA program per training step: attacker extras +
+            # greedy attack + train step (train/step.py)
+            from rmcl_tpu.train.step import make_attacked_train_step
+            self.step_fn = make_attacked_train_step(
+                cfg, self.model, self.tx, self.greedy, mesh=self.mesh,
+                max_steps=self.max_steps, donate=True)
+        else:
+            self.step_fn = make_train_step(cfg, self.model, self.tx,
+                                           mesh=self.mesh,
+                                           max_steps=self.max_steps,
+                                           donate=True)
+        self.eval_fn = make_eval_step(cfg, self.model, mesh=self.mesh)
+        self.ckpt = CheckpointManager(self.workdir)
+        if cfg.resume_from and self.ckpt.has("last"):
+            self.ts = self.ckpt.restore(self.ts, "last")
+            self.steps_done = int(self.ts.step)
         self._extras_fn = None
         self.epoch = 0
         self.train_metrics = MetricBag(cfg.loss_names)
@@ -252,8 +268,8 @@ class Trainer:
 
     # ------------------------------------------------------------- attack
     def _attach_text_attack(self, batch: Dict[str, Any],
-                            bag: Optional[MetricBag] = None
-                            ) -> Dict[str, Any]:
+                            bag: Optional[MetricBag] = None,
+                            for_train: bool = True) -> Dict[str, Any]:
         """Runs on the HOST-LOCAL numpy batch (before any multi-host
         globalization — the attacker reads values with np.asarray)."""
         # --- benign augmented views (augmentation=True) ---
@@ -271,6 +287,12 @@ class Trainer:
             batch = dict(batch, augmented_image=aug)
         if self.greedy is None:
             return batch
+        if self._fused_step and for_train:
+            # one-program path: the attack runs INSIDE the jitted step;
+            # the host only precomputes the word/candidate tables
+            # (telemetry comes back in the step metrics)
+            return dict(batch, **self.greedy.prep_tables(
+                np.asarray(batch["text_ids"])))
         # --- adversarial text view (greedy word substitution) ---
         db = {k: jnp.asarray(v) for k, v in batch.items()
               if isinstance(v, np.ndarray)}
@@ -404,7 +426,8 @@ class Trainer:
             # the reference evaluates WITH the adversarial views (its
             # validation_step runs the same compute_* path incl.
             # compute_geometric, objectives.py:277-285)
-            batch = self._attach_text_attack(batch, bag=bag)
+            batch = self._attach_text_attack(batch, bag=bag,
+                                             for_train=False)
             db = _device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)

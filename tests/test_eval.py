@@ -508,3 +508,80 @@ def test_attacked_recall_effectiveness(tmp_path):
         text_view=False, image_view=True, max_texts=None)
     assert sum(attacked) < sum(clean)   # attack effectiveness
     assert attacked[0] < clean[0]       # ir_r1 strictly degraded
+
+def _write_synonym_vectors(path):
+    rng = np.random.RandomState(0)
+    groups = [["dog", "puppy"], ["park", "garden"], ["running", "sprinting"]]
+    vecs = {}
+    for group in groups:
+        base = rng.randn(16)
+        for w in group:
+            vecs[w] = base + 0.05 * rng.randn(16)
+    for w in ("the", "in", "a"):
+        vecs[w] = rng.randn(16)
+    with open(path, "w") as f:
+        for w, v in vecs.items():
+            f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+
+
+@pytest.mark.parametrize("fuse_step", [True, False])
+def test_trainer_moco_greedy_attack_e2e(tmp_path, fuse_step):
+    """Trainer with a REAL greedy text attacker (counter-fitted
+    vectors): both the one-program fused attack+step path and the
+    3-program pipeline train and validate end-to-end, with attack
+    telemetry in the metrics."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow))
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "puppy", "running", "sprinting",
+                            "park", "garden", "the", "in", "a"])
+    emb = str(tmp_path / "vectors.txt")
+    _write_synonym_vectors(emb)
+
+    cfg = build_config(
+        "task_moco",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, num_negative=8, use_pallas_attention=False,
+        compute_dtype="float32", drop_rate=0.0, max_steps=2,
+        warmup_steps=0, batch_size=4, num_workers=2, fast_dev_run=True,
+        max_image_len=-1, text_view=True, image_view=True,
+        adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+        embedding_path=emb, n_candidates=2, max_loops=2,
+        fuse_attack_step=fuse_step, log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    assert tr.greedy is not None
+    assert tr._fused_step is fuse_step
+
+    # one manual step to inspect the batch contract + step metrics
+    import jax
+    from rmcl_tpu.train.loop import _device_batch
+    loader = tr.dm.train_loader(tr.per_host_batch)
+    loader.set_epoch(0)
+    raw = next(iter(loader))
+    batch = tr._attach_text_attack(raw)
+    if fuse_step:
+        assert any(k.startswith("gw_") for k in batch)  # tables attached
+    else:
+        assert "attacked_text_ids" in batch  # device-resident ids kept
+    db = _device_batch(batch, tr.mesh)
+    if not fuse_step:
+        assert "attacked_text_ids" in db  # not dropped by the filter
+    ts2, metrics = tr.step_fn(tr.ts, db, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["moco_loss"]))
+    assert np.isfinite(float(metrics["attacked_txt_loss"]))
+    if fuse_step:
+        assert "num_changes" in metrics and "change_rate" in metrics
+    tr.ts = ts2
+
+    ts = tr.fit()
+    assert int(ts.step) >= 1
+    vm = tr.validate()
+    assert np.isfinite(vm["moco_loss"])
+    assert "attacked_txt_loss" in vm

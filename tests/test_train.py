@@ -381,3 +381,60 @@ def test_irtr_fused_matches_unfused_broadcast():
     expected = np.stack(cols, axis=1)
     np.testing.assert_allclose(np.asarray(ret["irtr_logits"]), expected,
                                rtol=2e-4, atol=2e-5)
+
+def test_attacked_train_step_one_program_8dev_mesh(tmp_path):
+    """The ONE-program attack+train step (while_loop + argmax + scatter
+    inside pjit) compiles and runs over an 8-device data mesh with the
+    word/candidate tables batch-sharded."""
+    from rmcl_tpu.attacks.greedy import GreedyAttackMoco, SynonymTable
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
+    from rmcl_tpu.train.step import make_attacked_train_step
+
+    assert jax.device_count() >= 8
+    words = ["dog", "puppy", "park", "garden", "runs", "sprints", "the"]
+    vocab = str(tmp_path / "v.txt")
+    make_tiny_vocab(vocab, words)
+    tok = WordPieceTokenizer(vocab)
+    rng_np = np.random.RandomState(0)
+    emb = str(tmp_path / "e.txt")
+    with open(emb, "w") as f:
+        for group in (["dog", "puppy"], ["park", "garden"],
+                      ["runs", "sprints"]):
+            base = rng_np.randn(16)
+            for w in group:
+                v = base + 0.05 * rng_np.randn(16)
+                f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+        f.write("the " + " ".join(f"{x:.5f}" for x in rng_np.randn(16))
+                + "\n")
+
+    cfg = _tiny({"moco": 1}, vocab_size=tok.vocab_size, num_negative=16,
+                momentum=0.99, text_view=True, image_view=True,
+                adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+                warmup_steps=0, max_text_len=12, n_candidates=2,
+                max_loops=2)
+    mesh = make_mesh(jax.devices()[:8])
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    syn = SynonymTable(emb, cfg.n_candidates, cfg.sim_thred)
+    fused = FusedGreedyAttack(GreedyAttackMoco(cfg, model, tok, syn))
+    step2 = make_attacked_train_step(cfg, model, tx, fused, mesh=mesh,
+                                     donate=False)
+
+    ids, masks = tok.batch_encode(
+        ["dog runs the park"] * 4 + ["puppy sprints the garden"] * 4, 12)
+    b = make_fake_batch(cfg, batch=8)
+    batch = {
+        "image": jnp.asarray(b["image"]),
+        "text_ids": jnp.asarray(ids, jnp.int32),
+        "text_masks": jnp.asarray(masks, jnp.int32),
+        "text_labels": jnp.full_like(jnp.asarray(ids), -100),
+    }
+    batch.update({k: jnp.asarray(v)
+                  for k, v in fused.prep_tables(ids).items()})
+    batch = shard_batch(batch, mesh)
+
+    ts1, metrics = step2(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["moco_loss"]))
+    assert np.isfinite(float(metrics["attacked_txt_loss"]))
+    assert float(metrics["num_changes"]) >= 0
+    assert int(ts1.state["proj_queue_ptr"]) == 8
