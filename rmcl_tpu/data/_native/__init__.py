@@ -54,3 +54,43 @@ def load_wordpiece() -> Optional[ctypes.CDLL]:
         except Exception:
             _lib = None
         return _lib
+
+
+_IP_SRC = os.path.join(_DIR, "imageproc.cpp")
+_IP_SO = os.path.join(_DIR, "_imageproc.so")
+_ip_lib = None
+_ip_tried = False
+
+
+def _bind_imageproc(lib):
+    u8p = ctypes.POINTER(ctypes.c_uint8)
+    lib.ip_resize_bicubic_u8.restype = ctypes.c_int32
+    lib.ip_resize_bicubic_u8.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, u8p]
+    lib.ip_normalize_hwc.restype = ctypes.c_int32
+    lib.ip_normalize_hwc.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
+        ctypes.POINTER(ctypes.c_float)]
+    return lib
+
+
+def load_imageproc() -> Optional[ctypes.CDLL]:
+    """PIL-bit-exact bicubic resize + fused inception normalize
+    (imageproc.cpp); None -> callers use the PIL/numpy path."""
+    global _ip_lib, _ip_tried
+    with _lock:
+        if _ip_lib is not None or _ip_tried:
+            return _ip_lib
+        _ip_tried = True
+        try:
+            if (not os.path.exists(_IP_SO)
+                    or os.path.getmtime(_IP_SO) < os.path.getmtime(_IP_SRC)):
+                subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
+                     "-o", _IP_SO, _IP_SRC],
+                    check=True, capture_output=True)
+            _ip_lib = _bind_imageproc(ctypes.CDLL(_IP_SO))
+        except Exception:
+            _ip_lib = None
+        return _ip_lib

@@ -1,0 +1,162 @@
+// Native image pipeline for the rmcl_tpu host data path.
+//
+// The reference's image preprocessing is PIL/torchvision C code under
+// Python orchestration (reference vilt/transforms/utils.py:5-49:
+// MinMaxResize -> ToTensor -> inception normalize).  This module fuses
+// that path natively:
+//
+//   ip_resize_bicubic_u8   two-pass bicubic resample, BIT-EXACT to
+//                          PIL.Image.resize(..., BICUBIC) on 8-bit RGB
+//                          (same filter a=-0.5, same antialias support
+//                          scaling, same fixed-point coefficient
+//                          rounding and clip — Pillow Resample.c
+//                          semantics); parity asserted elementwise in
+//                          tests/test_extensions.py.
+//   ip_normalize_hwc       u8 HWC -> float32 (x/255 - .5)/.5 in one
+//                          pass (ToTensor + inception_normalize).
+//
+// Exposed via ctypes (rmcl_tpu/data/_native/__init__.py); the Python
+// PIL path remains the fallback when no toolchain is available.
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int PRECISION_BITS = 32 - 8 - 2;
+
+inline double bicubic_filter(double x) {
+    constexpr double a = -0.5;
+    if (x < 0.0) x = -x;
+    if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+    if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+    return 0.0;
+}
+
+inline uint8_t clip8(int32_t in) {
+    // Pillow clip8: INT32 accumulator, shift by PRECISION_BITS
+    if (in >= (1 << PRECISION_BITS << 8)) return 255;
+    if (in <= 0) return 0;
+    return (uint8_t)(in >> PRECISION_BITS);
+}
+
+// Pillow precompute_coeffs + normalize_coeffs_8bpc
+int precompute_coeffs(int inSize, int outSize, std::vector<int>& bounds,
+                      std::vector<int32_t>& kk) {
+    const double support_base = 2.0;  // bicubic
+    double scale = (double)inSize / outSize;
+    double filterscale = scale < 1.0 ? 1.0 : scale;
+    double support = support_base * filterscale;
+    int ksize = (int)ceil(support) * 2 + 1;
+
+    std::vector<double> prekk((size_t)outSize * ksize, 0.0);
+    bounds.assign((size_t)outSize * 2, 0);
+    for (int xx = 0; xx < outSize; xx++) {
+        double center = (xx + 0.5) * scale;
+        double ww = 0.0;
+        double ss = 1.0 / filterscale;
+        int xmin = (int)(center - support + 0.5);
+        if (xmin < 0) xmin = 0;
+        int xmax = (int)(center + support + 0.5);
+        if (xmax > inSize) xmax = inSize;
+        xmax -= xmin;
+        double* k = &prekk[(size_t)xx * ksize];
+        int x = 0;
+        for (; x < xmax; x++) {
+            double w = bicubic_filter((x + xmin - center + 0.5) * ss);
+            k[x] = w;
+            ww += w;
+        }
+        for (x = 0; x < xmax; x++)
+            if (ww != 0.0) k[x] /= ww;
+        for (; x < ksize; x++) k[x] = 0.0;
+        bounds[(size_t)xx * 2 + 0] = xmin;
+        bounds[(size_t)xx * 2 + 1] = xmax;
+    }
+    kk.assign(prekk.size(), 0);
+    for (size_t i = 0; i < prekk.size(); i++) {
+        kk[i] = prekk[i] < 0
+                    ? (int32_t)(-0.5 + prekk[i] * (1 << PRECISION_BITS))
+                    : (int32_t)(0.5 + prekk[i] * (1 << PRECISION_BITS));
+    }
+    return ksize;
+}
+
+}  // namespace
+
+extern "C" {
+
+// in:  (inH, inW, C) u8 contiguous;  out: (outH, outW, C) u8.
+// Returns 0 on success.  Two-pass: horizontal into a temp
+// (inH, outW, C), then vertical — Pillow's ImagingResample order.
+int ip_resize_bicubic_u8(const uint8_t* in, int inH, int inW, int C,
+                         int outH, int outW, uint8_t* out) {
+    if (inH <= 0 || inW <= 0 || outH <= 0 || outW <= 0 || C != 3)
+        return 1;  // RGB only (callers convert("RGB") first)
+
+    std::vector<int> hb, vb;
+    std::vector<int32_t> hk, vk;
+    const int hks = precompute_coeffs(inW, outW, hb, hk);
+    const int vks = precompute_coeffs(inH, outH, vb, vk);
+
+    std::vector<uint8_t> tmp((size_t)inH * outW * C);
+    // horizontal (per output pixel gather; Pillow's INT32 accumulation)
+    for (int y = 0; y < inH; y++) {
+        const uint8_t* row = in + (size_t)y * inW * C;
+        uint8_t* trow = tmp.data() + (size_t)y * outW * C;
+        for (int xx = 0; xx < outW; xx++) {
+            const int xmin = hb[(size_t)xx * 2 + 0];
+            const int xmax = hb[(size_t)xx * 2 + 1];
+            const int32_t* k = &hk[(size_t)xx * hks];
+            int32_t s0 = 1 << (PRECISION_BITS - 1);
+            int32_t s1 = s0, s2 = s0;
+            const uint8_t* p = row + (size_t)xmin * C;
+            for (int x = 0; x < xmax; x++, p += C) {
+                s0 += (int32_t)p[0] * k[x];
+                s1 += (int32_t)p[1] * k[x];
+                s2 += (int32_t)p[2] * k[x];
+            }
+            trow[(size_t)xx * C + 0] = clip8(s0);
+            trow[(size_t)xx * C + 1] = clip8(s1);
+            trow[(size_t)xx * C + 2] = clip8(s2);
+        }
+    }
+    // vertical: stream whole rows into an int32 accumulator — contiguous
+    // loads, autovectorizes
+    const size_t rowN = (size_t)outW * C;
+    std::vector<int32_t> acc(rowN);
+    for (int yy = 0; yy < outH; yy++) {
+        const int ymin = vb[(size_t)yy * 2 + 0];
+        const int ymax = vb[(size_t)yy * 2 + 1];
+        const int32_t* k = &vk[(size_t)yy * vks];
+        for (size_t i = 0; i < rowN; i++) acc[i] = 1 << (PRECISION_BITS - 1);
+        for (int y = 0; y < ymax; y++) {
+            const uint8_t* trow = tmp.data() + (size_t)(y + ymin) * rowN;
+            const int32_t kv = k[y];
+            for (size_t i = 0; i < rowN; i++)
+                acc[i] += (int32_t)trow[i] * kv;
+        }
+        uint8_t* orow = out + (size_t)yy * rowN;
+        for (size_t i = 0; i < rowN; i++) orow[i] = clip8(acc[i]);
+    }
+    return 0;
+}
+
+// u8 (h, w, 3) -> float32 (h, w, 3), (x/255 - 0.5)/0.5
+// (ToTensor + inception_normalize, reference transforms/utils.py:46-49)
+int ip_normalize_hwc(const uint8_t* in, int h, int w, int c, float* out) {
+    static float lut[256];
+    static bool init = false;
+    if (!init) {
+        for (int i = 0; i < 256; i++)
+            lut[i] = ((float)i / 255.0f - 0.5f) / 0.5f;
+        init = true;
+    }
+    const size_t n = (size_t)h * w * c;
+    for (size_t i = 0; i < n; i++) out[i] = lut[in[i]];
+    return 0;
+}
+
+}  // extern "C"

@@ -172,17 +172,68 @@ class RandAugment:
         return img
 
 
+# --------------------------------------------------- native fast path
+def _native_imageproc():
+    from rmcl_tpu.data import _native
+    return _native.load_imageproc()
+
+
+def _native_resize(lib, arr: np.ndarray, neww: int, newh: int) -> np.ndarray:
+    import ctypes
+    h, w, c = arr.shape
+    out = np.empty((newh, neww, c), np.uint8)
+    rc = lib.ip_resize_bicubic_u8(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, c,
+        newh, neww, out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    if rc != 0:  # pragma: no cover - defensive
+        raise RuntimeError("ip_resize_bicubic_u8 failed")
+    return out
+
+
+def _native_pixelbert(lib, img: Image.Image, size: int, longer: int,
+                      bucket_hw: Optional[Tuple[int, int]]) -> np.ndarray:
+    """C++ resize chain + fused normalize — BIT-IDENTICAL to the PIL
+    path (ip_resize_bicubic_u8 reproduces Pillow's fixed-point bicubic
+    exactly; parity asserted in tests/test_extensions.py)."""
+    import ctypes
+    arr = np.ascontiguousarray(np.asarray(img.convert("RGB"), np.uint8))
+    h, w = arr.shape[:2]
+    neww, newh = min_max_size(w, h, size, longer)
+    if (newh, neww) != (h, w):
+        arr = _native_resize(lib, arr, neww, newh)
+        h, w = newh, neww
+    if bucket_hw is not None and (w > bucket_hw[1] or h > bucket_hw[0]):
+        bh, bw = bucket_hw
+        s = min(bw / w, bh / h)
+        neww = max(int(w * s) // 32 * 32, 32)
+        newh = max(int(h * s) // 32 * 32, 32)
+        arr = _native_resize(lib, arr, neww, newh)
+        h, w = newh, neww
+    out = np.empty((h, w, 3), np.float32)
+    lib.ip_normalize_hwc(
+        arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, 3,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
 # ------------------------------------------------------------- pipelines
 def pixelbert_transform(size: int = 800,
                         bucket_hw: Optional[Tuple[int, int]] = None,
                         randaug: bool = False) -> Callable:
-    """PIL -> (H, W, 3) float32 in [-1, 1] (reference pixelbert.py:8-30)."""
+    """PIL -> (H, W, 3) float32 in [-1, 1] (reference pixelbert.py:8-30).
+
+    Uses the native C++ resize+normalize (data/_native/imageproc.cpp)
+    when available — bit-identical results, one fused pass instead of
+    PIL resize(s) + numpy normalize."""
     longer = int((1333 / 800) * size)
     ra = RandAugment(2, 9) if randaug else None
 
     def tr(img: Image.Image) -> np.ndarray:
         if ra is not None:
             img = ra(img)
+        lib = _native_imageproc()
+        if lib is not None:
+            return _native_pixelbert(lib, img, size, longer, bucket_hw)
         img = min_max_resize(img, shorter=size, longer=longer)
         if bucket_hw is not None:
             img = fit_bucket(img, bucket_hw)

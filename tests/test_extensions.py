@@ -126,3 +126,65 @@ def test_ce_geometric_greedy_attack(tmp_path):
     for d in dec:
         assert all(w in ("dog", "cat", "hound", "running", "sitting",
                          "grass", "park") for w in d.split())
+
+def test_native_imageproc_bit_parity_and_speed():
+    """The C++ bicubic resize must be BIT-IDENTICAL to PIL's (Pillow
+    fixed-point semantics) across up/down/mixed scaling, and the full
+    native pixelbert path must equal the PIL+numpy path elementwise."""
+    import time
+
+    from PIL import Image
+    from rmcl_tpu.data._native import load_imageproc
+    from rmcl_tpu.data.transforms import (
+        _native_pixelbert, fit_bucket, min_max_resize, to_normalized_array)
+
+    lib = load_imageproc()
+    if lib is None:
+        import pytest
+        pytest.skip("no C++ toolchain")
+
+    r = np.random.RandomState(0)
+    import ctypes
+
+    def native_resize(arr, ow, oh):
+        out = np.empty((oh, ow, 3), np.uint8)
+        lib.ip_resize_bicubic_u8(
+            arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            arr.shape[0], arr.shape[1], 3, oh, ow,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+        return out
+
+    for (h, w), (oh, ow) in [((100, 150), (64, 96)), ((40, 60), (384, 576)),
+                             ((233, 177), (96, 128)), ((500, 401), (32, 48)),
+                             ((87, 93), (200, 50))]:
+        arr = np.ascontiguousarray(r.randint(0, 256, (h, w, 3), np.uint8))
+        pil = np.asarray(Image.fromarray(arr).resize((ow, oh),
+                                                     Image.BICUBIC))
+        np.testing.assert_array_equal(pil, native_resize(arr, ow, oh),
+                                      err_msg=f"{h}x{w}->{oh}x{ow}")
+
+    # full pipeline parity (resize chain + normalize), down + up cases
+    for h, w in [(300, 500), (50, 70)]:
+        img = Image.fromarray(r.randint(0, 256, (h, w, 3), np.uint8))
+        size, longer, bucket = 64, int(1333 / 800 * 64), (64, 96)
+        ref = min_max_resize(img, shorter=size, longer=longer)
+        ref = fit_bucket(ref, bucket)
+        ref = to_normalized_array(ref)
+        fast = _native_pixelbert(lib, img, size, longer, bucket)
+        np.testing.assert_array_equal(ref, fast)
+
+    # speed: native fused path vs PIL+numpy on a realistic decode size
+    img = Image.fromarray(r.randint(0, 256, (480, 640, 3), np.uint8))
+    size, longer, bucket = 384, int(1333 / 800 * 384), (384, 576)
+    t0 = time.perf_counter()
+    for _ in range(10):
+        ref = min_max_resize(img, shorter=size, longer=longer)
+        ref = fit_bucket(ref, bucket)
+        _ = to_normalized_array(ref)
+    t_pil = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    for _ in range(10):
+        _ = _native_pixelbert(lib, img, size, longer, bucket)
+    t_nat = time.perf_counter() - t0
+    print(f"pixelbert 480x640->384-bucket: PIL {t_pil*100:.1f} ms/img, "
+          f"native {t_nat*100:.1f} ms/img")
