@@ -104,8 +104,23 @@ def _greedy_setup(cfg, model, batch_size):
 
     content = [w for w in _GREEDY_WORDS if w not in
                ("in", "the", "a", "on", "with", "near")]
-    sents = [" ".join(rng.choice(content, size=min(cfg.max_text_len - 2, 10)))
-             for _ in range(batch_size)]
+    if os.environ.get("BENCH_GREEDY_MIX", "worst") == "realistic":
+        # caption-like: ~half function words (not attack targets), so
+        # per-sentence budgets exhaust after 1-2 commits and the fused
+        # attack's early exit fires — the expected production profile.
+        stop = ["in", "the", "a", "on", "with", "near"]
+        sents = []
+        for _ in range(batch_size):
+            ws = []
+            for i in range(min(cfg.max_text_len - 2, 10)):
+                pool = content if i % 2 == 0 else stop
+                ws.append(str(rng.choice(pool)))
+            sents.append(" ".join(ws))
+    else:
+        # worst case: every word is an eligible attack target
+        sents = [" ".join(rng.choice(content,
+                                     size=min(cfg.max_text_len - 2, 10)))
+                 for _ in range(batch_size)]
     ids, masks = tok.batch_encode(sents, cfg.max_text_len)
     return greedy, ids.astype(np.int32), masks.astype(np.int32)
 

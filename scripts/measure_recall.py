@@ -21,9 +21,11 @@ import numpy as np
 
 from scripts._timing import bench_prog
 
+import os
+
 N_IMAGES = 5000
 N_TEXTS = 25010
-TXT_CHUNK = 256
+TXT_CHUNK = int(os.environ.get("RECALL_CHUNK", "256"))
 
 
 def main():
