@@ -16,30 +16,43 @@ from typing import Any, Optional
 import jax
 
 
-def _ckptr():
-    import orbax.checkpoint as ocp
-    return ocp.StandardCheckpointer()
-
-
 def _as_tree(ts) -> dict:
     return {"params": ts.params, "opt_state": ts.opt_state,
             "state": ts.state, "step": ts.step}
 
 
 class CheckpointManager:
+    """Async saves: `save_last`/`maybe_save_best` return as soon as the
+    device arrays are snapshotted and the write is scheduled (orbax
+    commits in the background), so the ~seconds-long 113M-param
+    serialisation overlaps the next epoch instead of stalling the step
+    loop.  A barrier runs before re-touching the same directory and in
+    `wait()` (called at the end of fit / before process exit)."""
+
     def __init__(self, workdir: str, monitor: str = "val/the_metric"):
         self.workdir = os.path.abspath(workdir)
         self.monitor = monitor
         self.best_score: Optional[float] = None
+        self._ckptr = None
         os.makedirs(self.workdir, exist_ok=True)
+
+    def _c(self):
+        if self._ckptr is None:
+            import orbax.checkpoint as ocp
+            self._ckptr = ocp.StandardCheckpointer()
+        return self._ckptr
 
     def _path(self, name: str) -> str:
         return os.path.join(self.workdir, name)
 
+    def wait(self):
+        if self._ckptr is not None:
+            self._ckptr.wait_until_finished()
+
     def save_last(self, ts):
-        c = _ckptr()
+        c = self._c()
+        c.wait_until_finished()   # previous async save, if any
         c.save(self._path("last"), _as_tree(ts), force=True)
-        c.wait_until_finished()
 
     def maybe_save_best(self, ts, metrics: dict) -> bool:
         score = metrics.get(self.monitor)
@@ -47,16 +60,17 @@ class CheckpointManager:
             return False
         if self.best_score is None or score > self.best_score:
             self.best_score = float(score)
-            c = _ckptr()
-            c.save(self._path("best"), _as_tree(ts), force=True)
+            c = self._c()
             c.wait_until_finished()
+            c.save(self._path("best"), _as_tree(ts), force=True)
             return True
         return False
 
     def restore(self, ts, name: str = "last"):
         """Restore into the structure of `ts` (shapes/dtypes as template)."""
         from rmcl_tpu.train.step import TrainState
-        c = _ckptr()
+        c = self._c()
+        c.wait_until_finished()
         restored = c.restore(self._path(name), _as_tree(ts))
         return TrainState(params=restored["params"],
                           opt_state=restored["opt_state"],

@@ -396,6 +396,7 @@ class Trainer:
             epoch += 1
             if cfg.fast_dev_run:
                 break
+        self.ckpt.wait()      # drain the async checkpoint write
         return self.ts
 
     # ---------------------------------------------------------------- val
