@@ -343,3 +343,42 @@ def test_attacked_train_step_one_program_parity(moco_setup, tiny_tok,
     np.testing.assert_allclose(w1, w2, atol=1e-6)
     assert float(m2["num_changes"]) == out["num_changes"]
     assert abs(float(m2["change_rate"]) - out["change_rate"]) < 1e-6
+
+def test_fused_greedy_fuzz_parity(moco_setup, tiny_tok, tiny_synonyms):
+    """Randomised host-vs-fused parity: random sentences (including
+    multi-sub-token OOV words that push the M bucket to 8/16) must
+    produce identical attacked ids across several batches."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+
+    cfg, model, params, state = _moco_model_and_batch(
+        moco_setup, tiny_tok.vocab_size)
+    host = GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms)
+    fused = FusedGreedyAttack(
+        GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms))
+
+    pool = WORDS + ["extraordinarily", "unquestionably"]  # char-split OOV
+    r = np.random.RandomState(11)
+    for trial in range(4):
+        sents = [" ".join(r.choice(pool, size=r.randint(2, 9)))
+                 for _ in range(3)]
+        ids, masks = tiny_tok.batch_encode(sents, cfg.max_text_len)
+        fb = make_fake_batch(cfg, batch=3, seed=trial)
+        batch = {
+            "image": fb["image"],
+            "text_ids": ids.astype(np.int32),
+            "text_masks": masks.astype(np.int32),
+            "text_labels": np.full_like(ids, -100),
+        }
+        dev = {k: jnp.asarray(v) for k, v in batch.items()}
+        infer_k = model.infer_k(params, dev, deterministic=True)
+        k = l2_normalize(
+            moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+        extras = (k, state["proj_queue"], cfg.temperature)
+
+        oh = host.adv_attack_samples(params, batch, extras)
+        of = fused.adv_attack_samples(params, batch, extras)
+        np.testing.assert_array_equal(
+            of["txt_input_ids"], oh["txt_input_ids"],
+            err_msg=f"trial {trial}: {sents}")
+        assert of["changes_verification"] == oh["changes_verification"], \
+            (trial, sents)
