@@ -382,10 +382,12 @@ def test_irtr_fused_matches_unfused_broadcast():
     np.testing.assert_allclose(np.asarray(ret["irtr_logits"]), expected,
                                rtol=2e-4, atol=2e-5)
 
-def test_attacked_train_step_one_program_8dev_mesh(tmp_path):
+@pytest.mark.parametrize("mesh_kind", ["dp8", "dp4xtp2"])
+def test_attacked_train_step_one_program_8dev_mesh(tmp_path, mesh_kind):
     """The ONE-program attack+train step (while_loop + argmax + scatter
-    inside pjit) compiles and runs over an 8-device data mesh with the
-    word/candidate tables batch-sharded."""
+    inside pjit) compiles and runs over an 8-device data mesh — and
+    over a 4x2 dp x tp Megatron mesh — with the word/candidate tables
+    batch-sharded."""
     from rmcl_tpu.attacks.greedy import GreedyAttackMoco, SynonymTable
     from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
     from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
@@ -408,13 +410,22 @@ def test_attacked_train_step_one_program_8dev_mesh(tmp_path):
         f.write("the " + " ".join(f"{x:.5f}" for x in rng_np.randn(16))
                 + "\n")
 
+    extra = ({} if mesh_kind == "dp8"
+             else dict(mesh_shape=(4, 2),
+                       mesh_axis_names=("data", "model")))
     cfg = _tiny({"moco": 1}, vocab_size=tok.vocab_size, num_negative=16,
                 momentum=0.99, text_view=True, image_view=True,
                 adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
                 warmup_steps=0, max_text_len=12, n_candidates=2,
-                max_loops=2)
-    mesh = make_mesh(jax.devices()[:8])
-    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+                max_loops=2, **extra)
+    if mesh_kind == "dp8":
+        mesh = make_mesh(jax.devices()[:8])
+        model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    else:
+        mesh = make_mesh(jax.devices()[:8], shape=(4, 2),
+                         axis_names=("data", "model"))
+        model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg,
+                                           mesh=mesh)
     syn = SynonymTable(emb, cfg.n_candidates, cfg.sim_thred)
     fused = FusedGreedyAttack(GreedyAttackMoco(cfg, model, tok, syn))
     step2 = make_attacked_train_step(cfg, model, tx, fused, mesh=mesh,
