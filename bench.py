@@ -158,6 +158,7 @@ def main():
                    else os.environ["BENCH_PGD_REMAT"] == "1"),
         drop_rate=float(os.environ.get("BENCH_DROPOUT", "0.1")),
         dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
+        block_layout=os.environ.get("BENCH_BLOCK_LAYOUT", "3d"),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)

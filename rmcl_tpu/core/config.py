@@ -181,6 +181,9 @@ class RMCLConfig:
     # 61.4 pairs/s), pack8 most (72.0).  Exact marginal rate either way;
     # see models/layers.py:dropout and PARITY.md #15.
     dropout_impl: str = "rbg"
+    # transformer scan-carry layout: "3d" (B,S,C) | "2d" (flat B*S,C —
+    # reshapes only around the attention core; see models/vit.py)
+    block_layout: str = "3d"
     compute_dtype: str = "bfloat16"
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)

@@ -44,6 +44,7 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         remat_policy=cfg.remat_policy,
         attn_impl=cfg.attention_impl,
         dropout_impl=cfg.dropout_impl,
+        block_layout=cfg.block_layout,
     )
 
 

@@ -54,6 +54,7 @@ class ViTSpec(NamedTuple):
     attn_impl: str = ""         # "" -> derive from use_pallas; else
                                 # "xla" | "xla_bf16" | "pallas" | "flash"
     dropout_impl: str = "fp32"  # "fp32" | "pack8" | "rbg" (layers.dropout)
+    block_layout: str = "3d"    # "3d" | "2d" (flat B*S scan carry)
 
     @property
     def patch_dim(self) -> int:
@@ -425,16 +426,58 @@ def _remat(fn, spec: ViTSpec):
     return jax.checkpoint(fn)
 
 
+def block_forward_2d(bp, x2d, mask, *, spec: ViTSpec, rng=None,
+                     deterministic: bool = True):
+    """block_forward on FLAT (B*S, C) activations — same math; the 3-D
+    view exists only around the attention core, INSIDE the (remat'd)
+    scan body, so the scan carry itself stays 2-D.  Opt-in via
+    spec.block_layout="2d" (config.block_layout); see ROADMAP's
+    fwd-decomposition notes for the layout measurements."""
+    B, S = mask.shape
+    C = x2d.shape[-1]
+    Hh, D = spec.num_heads, spec.head_dim
+    rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+
+    y = L.layer_norm(bp["norm1"], x2d, eps=VIT_LN_EPS)
+    qkv = L.linear(bp["attn"]["qkv"], y).reshape(B, S, 3, Hh, D)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    attn = masked_attention(q, k, v, mask, D ** -0.5,
+                            use_pallas=spec.use_pallas,
+                            impl=spec.attn_impl or None)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B * S, C)
+    attn = L.linear(bp["attn"]["proj"], attn)
+    attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic,
+                     impl=spec.dropout_impl)
+    x2d = x2d + attn
+
+    y = L.layer_norm(bp["norm2"], x2d, eps=VIT_LN_EPS)
+    y = L.gelu(L.linear(bp["mlp"]["fc1"], y))
+    y = L.dropout(y, spec.drop_rate, rngs[1], deterministic,
+                  impl=spec.dropout_impl)
+    y = L.linear(bp["mlp"]["fc2"], y)
+    y = L.dropout(y, spec.drop_rate, rngs[2], deterministic,
+                  impl=spec.dropout_impl)
+    return x2d + y
+
+
 def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
                       deterministic: bool = True):
     """Run all blocks via lax.scan over stacked params, then final norm."""
     layer_rngs = (jax.random.split(rng, spec.num_layers)
                   if rng is not None else None)
 
+    flat = spec.block_layout == "2d"
+    B, S, C = x.shape
+    if flat:
+        x = x.reshape(B * S, C)
+    fwd = block_forward_2d if flat else block_forward
+
     def body(carry, inp):
         bp, lrng = inp
-        out = block_forward(bp, carry, mask, spec=spec, rng=lrng,
-                            deterministic=deterministic)
+        out = fwd(bp, carry, mask, spec=spec, rng=lrng,
+                  deterministic=deterministic)
         return out, None
 
     if spec.remat:
@@ -444,8 +487,8 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
         params["blocks"], None)
     if layer_rngs is None:
         def body_norng(carry, bp):
-            out = block_forward(bp, carry, mask, spec=spec, rng=None,
-                                deterministic=deterministic)
+            out = fwd(bp, carry, mask, spec=spec, rng=None,
+                      deterministic=deterministic)
             return out, None
         if spec.remat:
             body_norng = _remat(body_norng, spec)
@@ -453,4 +496,5 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
     else:
         x, _ = jax.lax.scan(body, x, xs)
 
-    return L.layer_norm(params["norm"], x, eps=VIT_LN_EPS)
+    out = L.layer_norm(params["norm"], x, eps=VIT_LN_EPS)
+    return out.reshape(B, S, C) if flat else out
