@@ -436,3 +436,104 @@ def test_wwm_matches_hf_collator(tmp_path):
         hf_mask[i, :L] = hf_labels[i, :L] != -100
 
     np.testing.assert_array_equal(our_mask, hf_mask)
+
+
+def test_caption_writers_roundtrip(tmp_path, tok):
+    """coco/f30k karpathy + SBU + VG + conceptual-caption writers produce
+    arrow files the corresponding datasets read back (C16 beyond the
+    nlvr2/vqa roundtrips)."""
+    import json
+    from rmcl_tpu.data.datasets import (
+        CocoCaptionKarpathyDataset, ConceptualCaptionDataset,
+        F30KCaptionKarpathyDataset, SBUCaptionDataset,
+        VisualGenomeCaptionDataset)
+    from rmcl_tpu.data.writers import (
+        make_arrow_coco_karpathy, make_arrow_conceptual_caption,
+        make_arrow_f30k_karpathy, make_arrow_sbu, make_arrow_vg)
+
+    def png(path, seed):
+        Image.fromarray(np.random.RandomState(seed).randint(
+            0, 255, (40, 40, 3), np.uint8)).save(path, format="PNG")
+
+    out = tmp_path / "arrow"
+    out.mkdir()
+    dskw = dict(data_dir=str(out), transform_keys=["pixelbert"],
+                image_size=64, max_text_len=12, bucket_hw=(64, 64),
+                tokenizer=tok)
+
+    # ---- coco karpathy (train2014/val2014 + dataset_coco.json)
+    root = tmp_path / "coco"
+    (root / "karpathy").mkdir(parents=True)
+    (root / "train2014").mkdir()
+    (root / "val2014").mkdir()
+    entries = []
+    for i, split in enumerate(["train", "val", "test", "restval"]):
+        name = f"img{i}.jpg"
+        sub = "train2014" if split in ("train", "restval") else "val2014"
+        png(root / sub / name, i)
+        entries.append({"filename": name, "split": split,
+                        "sentences": [{"raw": f"a dog in the park {i}"}]})
+    with open(root / "karpathy" / "dataset_coco.json", "w") as f:
+        json.dump({"images": entries}, f)
+    make_arrow_coco_karpathy(str(root), str(out))
+    ds = CocoCaptionKarpathyDataset(split="train", **dskw)
+    assert len(ds) == 2          # train + restval
+    assert "image" in ds[0] and "text" in ds[0]
+    assert len(CocoCaptionKarpathyDataset(split="test", **dskw)) == 1
+
+    # ---- f30k karpathy
+    root = tmp_path / "f30k"
+    (root / "karpathy").mkdir(parents=True)
+    (root / "flickr30k-images").mkdir()
+    entries = []
+    for i, split in enumerate(["train", "val", "test"]):
+        name = f"f{i}.jpg"
+        png(root / "flickr30k-images" / name, 10 + i)
+        entries.append({"filename": name, "split": split,
+                        "sentences": [{"raw": f"a cat on the street {i}"}]})
+    with open(root / "karpathy" / "dataset_flickr30k.json", "w") as f:
+        json.dump({"images": entries}, f)
+    make_arrow_f30k_karpathy(str(root), str(out))
+    assert len(F30KCaptionKarpathyDataset(split="train", **dskw)) == 1
+    assert len(F30KCaptionKarpathyDataset(split="test", **dskw)) == 1
+
+    # ---- sbu (annot.json + images/)
+    root = tmp_path / "sbu"
+    (root / "images").mkdir(parents=True)
+    annot = []
+    for i in range(3):
+        name = f"s{i}.jpg"
+        png(root / "images" / name, 20 + i)
+        annot.append({"filename": name, "caption": f"a street scene {i}"})
+    with open(root / "annot.json", "w") as f:
+        json.dump(annot, f)
+    make_arrow_sbu(str(root), str(out))
+    ds = SBUCaptionDataset(split="train", **dskw)
+    assert len(ds) == 3
+
+    # ---- vg (region_descriptions.json + images/VG_100K)
+    root = tmp_path / "vg"
+    (root / "annotations").mkdir(parents=True)
+    (root / "images" / "VG_100K").mkdir(parents=True)
+    regions = []
+    for iid in (1, 2):
+        png(root / "images" / "VG_100K" / f"{iid}.jpg", 30 + iid)
+        regions.append({"regions": [
+            {"image_id": iid, "phrase": f"a tree {iid}"},
+            {"image_id": iid, "phrase": f"a car {iid}"}]})
+    with open(root / "annotations" / "region_descriptions.json", "w") as f:
+        json.dump(regions, f)
+    make_arrow_vg(str(root), str(out))
+    ds = VisualGenomeCaptionDataset(split="train", **dskw)
+    assert len(ds) == 4          # 2 images x 2 region captions
+
+    # ---- conceptual captions (val split: 1 shard)
+    root = tmp_path / "gcc"
+    (root / "images_val").mkdir(parents=True)
+    with open(root / "val.tsv", "w") as f:
+        for i in range(2):
+            png(root / "images_val" / str(i), 40 + i)
+            f.write(f"a scenic view {i}\thttp://x/{i}\n")
+    make_arrow_conceptual_caption(str(root), str(out))
+    ds = ConceptualCaptionDataset(split="val", **dskw)
+    assert len(ds) == 2
