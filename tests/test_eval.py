@@ -524,12 +524,16 @@ def _write_synonym_vectors(path):
             f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
 
 
-@pytest.mark.parametrize("fuse_step", [True, False])
-def test_trainer_moco_greedy_attack_e2e(tmp_path, fuse_step):
+@pytest.mark.parametrize("fuse_step,greedy_impl", [
+    (True, "fused"),     # production default: one-program attack+step
+    (False, "fused"),    # pipeline with the on-device fused attacker
+    (False, "host"),     # reference-style host orchestration
+])
+def test_trainer_moco_greedy_attack_e2e(tmp_path, fuse_step, greedy_impl):
     """Trainer with a REAL greedy text attacker (counter-fitted
-    vectors): both the one-program fused attack+step path and the
-    3-program pipeline train and validate end-to-end, with attack
-    telemetry in the metrics."""
+    vectors): the one-program fused attack+step path, the 3-program
+    pipeline, and the host-orchestrated reference scheduling all train
+    and validate end-to-end, with attack telemetry in the metrics."""
     from rmcl_tpu.data.tokenizer import make_tiny_vocab
     from rmcl_tpu.train.loop import Trainer
 
@@ -553,7 +557,8 @@ def test_trainer_moco_greedy_attack_e2e(tmp_path, fuse_step):
         max_image_len=-1, text_view=True, image_view=True,
         adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
         embedding_path=emb, n_candidates=2, max_loops=2,
-        fuse_attack_step=fuse_step, log_dir=str(tmp_path / "out"))
+        fuse_attack_step=fuse_step, greedy_impl=greedy_impl,
+        log_dir=str(tmp_path / "out"))
     tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
     tr.setup()
     assert tr.greedy is not None
