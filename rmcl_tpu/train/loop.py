@@ -239,9 +239,12 @@ class Trainer:
                                                 self.dm.tokenizer)
 
         from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+        _attackable_tasks = ("moco", "barlowtwins", "nlvr2_attacked",
+                             "vqa_attacked", "irtr_attacked")
         self._fused_step = (cfg.fuse_attack_step
                             and isinstance(self.greedy, FusedGreedyAttack)
-                            and cfg.loss_names.get("moco", 0) >= 1)
+                            and any(t in active_tasks(cfg)
+                                    for t in _attackable_tasks))
         if self._fused_step:
             # ONE XLA program per training step: attacker extras +
             # greedy attack + train step (train/step.py)

@@ -307,45 +307,73 @@ def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
                              greedy, mesh=None,
                              max_steps: Optional[int] = None,
                              donate: bool = True) -> Callable:
-    """ONE XLA program for the full RMCL hot path: in-graph attacker
-    extras (post-EMA key projection, reference objectives.py:256-285) ->
-    the fused greedy text attack (attacks/greedy_fused.py) -> the train
-    step.  The host supplies only the precomputed word/candidate tables
-    (greedy.prep_tables) under TABLE_KEYS batch keys; everything else,
-    including the attacked ids handoff, stays on device.  Currently for
-    the moco framework (the reference's RMCL pretrain step).
+    """ONE XLA program for the full attacked train step: in-graph
+    attacker extras -> the fused greedy text attack
+    (attacks/greedy_fused.py) -> the train step.  The host supplies
+    only the precomputed word/candidate tables (greedy.prep_tables)
+    under TABLE_KEYS batch keys; everything else, including the
+    attacked ids handoff, stays on device.  The in-graph extras mirror
+    make_greedy_extras_fn (train/loop.py) per framework: moco post-EMA
+    key projection (reference objectives.py:256-285), BT projection,
+    NLVR2 labels, VQA targets, repaired-IRTR text projections.
 
     vs the 3-program pipeline (extras + attack + step): identical math,
-    minus two dispatches and the duplicated key forward the separate
-    extras program paid.
+    minus two dispatches and (for moco/BT/irtr) the duplicated forward
+    the separate extras program paid.
     """
     from rmcl_tpu.attacks.greedy_fused import TABLE_KEYS, FusedGreedyAttack
-    from rmcl_tpu.models.heads import moco_head
+    from rmcl_tpu.models.heads import barlowtwins_head, moco_head
+    from rmcl_tpu.core.config import active_tasks
     from rmcl_tpu.objectives.contrastive import momentum_update
     from rmcl_tpu.objectives.losses import l2_normalize
 
     assert isinstance(greedy, FusedGreedyAttack), \
         "make_attacked_train_step needs the fused greedy attacker"
-    assert cfg.loss_names.get("moco", 0) >= 1, \
-        "fused attack+step currently supports the moco framework"
+    tasks = active_tasks(cfg)
+    framework = next((t for t in ("moco", "barlowtwins", "nlvr2_attacked",
+                                  "vqa_attacked", "irtr_attacked")
+                      if t in tasks), None)
+    assert framework is not None, \
+        f"no attacked framework active in {sorted(tasks)}"
     lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
     base_body = _train_step_body(cfg, model, tx, lr_sched)
     attack_body = greedy.build_attack_body()
+
+    def compute_extras(ts, clean):
+        if framework == "moco":
+            # post-EMA key projection (the same update the loss
+            # recomputes in-graph; the reference runs the attack after
+            # the momentum update)
+            p2 = momentum_update(ts.params, cfg.momentum)
+            infer_k = model.infer_k(p2, clean, deterministic=True)
+            k = jax.lax.stop_gradient(l2_normalize(
+                moco_head(p2["k_moco_head"], infer_k["cls_feats"]),
+                axis=1))
+            return (k, ts.state["proj_queue"], cfg.temperature)
+        if framework == "barlowtwins":
+            infer = model.infer(ts.params, clean, deterministic=True)
+            k, _ = barlowtwins_head(ts.params["barlowtwins_head"],
+                                    infer["cls_feats"], training=True)
+            return (jax.lax.stop_gradient(k),
+                    clean["text_ids"].shape[0], cfg.adv_lr)
+        if framework == "nlvr2_attacked":
+            return (clean["answers"].astype(jnp.int32),)
+        if framework == "vqa_attacked":
+            return (clean["vqa_targets"],)
+        # irtr_attacked: repaired semantics — in-batch text projections
+        infer = model.infer(ts.params, clean, deterministic=True)
+        tr = jax.lax.stop_gradient(l2_normalize(
+            moco_head(ts.params["moco_head"], infer["cls_feats"]),
+            axis=1))
+        return (tr, cfg.temperature,
+                jnp.arange(clean["text_ids"].shape[0]))
 
     def attacked_step(ts: TrainState, batch, rng):
         tables = [batch[k] for k in TABLE_KEYS[:-1]]
         nw = batch["gw_nw"]
         clean = {k: v for k, v in batch.items() if k not in TABLE_KEYS}
 
-        # attacker extras: post-EMA key projection (the same update the
-        # loss recomputes in-graph; reference runs the attack after the
-        # momentum update)
-        p2 = momentum_update(ts.params, cfg.momentum)
-        infer_k = model.infer_k(p2, clean, deterministic=True)
-        k = jax.lax.stop_gradient(l2_normalize(
-            moco_head(p2["k_moco_head"], infer_k["cls_feats"]), axis=1))
-        extras = (k, ts.state["proj_queue"], cfg.temperature)
-
+        extras = compute_extras(ts, clean)
         ids, masks, n_changed = attack_body(
             ts.params, clean, extras, *tables)
         batch2 = dict(clean, attacked_text_ids=ids,

@@ -382,3 +382,56 @@ def test_fused_greedy_fuzz_parity(moco_setup, tiny_tok, tiny_synonyms):
             err_msg=f"trial {trial}: {sents}")
         assert of["changes_verification"] == oh["changes_verification"], \
             (trial, sents)
+
+def test_attacked_train_step_one_program_nlvr2(moco_setup, tiny_tok,
+                                               tiny_synonyms):
+    """One-program attack+step for the NLVR2 framework: label extras
+    come straight from the batch in-graph; parity vs the pipeline."""
+    from rmcl_tpu.attacks.greedy import GreedyAttackNlvr2
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    from rmcl_tpu.core.config import loss_names
+    from rmcl_tpu.train.loop import make_greedy_extras_fn
+    from rmcl_tpu.train.step import (
+        create_train_state, make_attacked_train_step, make_train_step)
+
+    cfg = moco_setup.replace(
+        vocab_size=tiny_tok.vocab_size,
+        loss_names=loss_names({"nlvr2_attacked": 1}),
+        text_view=True, image_view=True, adv_steps_img=1,
+        adv_lr_img=0.05, adv_max_norm_img=0.005,
+        warmup_steps=0, max_steps=100)
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    fused = FusedGreedyAttack(
+        GreedyAttackNlvr2(cfg, model, tiny_tok, tiny_synonyms))
+
+    ids, masks = tiny_tok.batch_encode(
+        ["dog runs in park", "cat sits in street"], cfg.max_text_len)
+    batch = {
+        "image_0": jnp.asarray(make_fake_batch(cfg)["image"]),
+        "image_1": jnp.asarray(make_fake_batch(cfg, seed=7)["image"]),
+        "text_ids": jnp.asarray(ids, jnp.int32),
+        "text_masks": jnp.asarray(masks, jnp.int32),
+        "text_labels": jnp.full_like(jnp.asarray(ids), -100),
+        "answers": jnp.asarray([0, 1], jnp.int32),
+    }
+    rng = jax.random.PRNGKey(7)
+
+    extras = make_greedy_extras_fn(cfg, model)(ts, batch)
+    out = fused.adv_attack_samples(ts.params, batch, extras)
+    b2 = dict(batch,
+              attacked_text_ids=jnp.asarray(out["txt_input_ids"]),
+              attacked_text_masks=jnp.asarray(out["text_masks"]))
+    ts1, m1 = make_train_step(cfg, model, tx, donate=False)(ts, b2, rng)
+
+    tables = {k: jnp.asarray(v)
+              for k, v in fused.prep_tables(ids).items()}
+    step2 = make_attacked_train_step(cfg, model, tx, fused, donate=False)
+    ts2, m2 = step2(ts, dict(batch, **tables), rng)
+
+    np.testing.assert_allclose(float(m1["nlvr2_attacked_loss"]),
+                               float(m2["nlvr2_attacked_loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["nlvr2_original_loss"]),
+                               float(m2["nlvr2_original_loss"]), rtol=1e-5)
+    w1 = np.asarray(ts1.params["nlvr2_classifier"]["0"]["kernel"])
+    w2 = np.asarray(ts2.params["nlvr2_classifier"]["0"]["kernel"])
+    np.testing.assert_allclose(w1, w2, atol=1e-6)
