@@ -590,3 +590,69 @@ def test_trainer_moco_greedy_attack_e2e(tmp_path, fuse_step, greedy_impl):
     vm = tr.validate()
     assert np.isfinite(vm["moco_loss"])
     assert "attacked_txt_loss" in vm
+
+
+def test_trainer_nlvr2_attacked_greedy_e2e(tmp_path):
+    """Trainer wiring for a NON-moco attacked framework: NLVR2 finetune
+    with the real greedy attacker through the one-program fused path
+    (labels extras in-graph, two-image batch keys, telemetry in step
+    metrics)."""
+    import json
+
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.data.writers import make_arrow_nlvr2
+    from rmcl_tpu.train.loop import Trainer
+
+    raw = tmp_path / "raw"
+    (raw / "nlvr2" / "data").mkdir(parents=True)
+    for split, sub in (("train", "images/train/0"), ("dev", "dev")):
+        (raw / sub).mkdir(parents=True)
+        rows = []
+        for i in range(4):
+            iden = f"{split}-{i}-0"
+            rows.append({"identifier": f"{iden}-0", "directory": "0",
+                         "sentence": f"the dog runs in the park {i}",
+                         "label": "True" if i % 2 == 0 else "False"})
+            img = Image.fromarray(np.random.RandomState(i).randint(
+                0, 255, (40, 40, 3), np.uint8))
+            img.save(raw / sub / f"{iden}-img0.png")
+            img.save(raw / sub / f"{iden}-img1.png")
+        with open(raw / "nlvr2" / "data" / f"{split}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    make_arrow_nlvr2(str(raw), str(arrow))
+
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "puppy", "runs", "park", "the", "in"])
+    emb = str(tmp_path / "vectors.txt")
+    _write_synonym_vectors(emb)
+
+    cfg = build_config(
+        "task_finetune_nlvr2_randaug_attacked",
+        datasets=("nlvr2",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False,
+        compute_dtype="float32", drop_rate=0.0, max_steps=2,
+        warmup_steps=0, batch_size=2, num_workers=2, fast_dev_run=True,
+        max_image_len=-1, text_view=True, image_view=True,
+        adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+        embedding_path=emb, n_candidates=2, max_loops=2,
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    assert tr.greedy is not None
+    assert tr._fused_step  # one-program path active for nlvr2_attacked
+
+    import jax
+    from rmcl_tpu.train.loop import _device_batch
+    loader = tr.dm.train_loader(tr.per_host_batch)
+    loader.set_epoch(0)
+    batch = tr._attach_text_attack(next(iter(loader)))
+    assert any(k.startswith("gw_") for k in batch)
+    db = _device_batch(batch, tr.mesh)
+    ts2, metrics = tr.step_fn(tr.ts, db, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["nlvr2_original_loss"]))
+    assert np.isfinite(float(metrics["nlvr2_attacked_loss"]))
+    assert "num_changes" in metrics
