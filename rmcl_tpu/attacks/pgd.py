@@ -118,6 +118,27 @@ def _pgd_loop(loss_of_delta: Callable, img_shape, dtype,
                              jnp.zeros(img_shape, dtype))
 
 
+def _pgd_single_image(model, frozen, batch, head_loss: Callable,
+                      adv_steps: int, adv_lr: float, max_norm: float,
+                      fast: bool):
+    """Shared fast/slow scaffold for the single-image PGD variants
+    (moco/BT/VQA/IRTR differ only in `head_loss`; NLVR2's two-image
+    gated loop stays bespoke)."""
+    img = batch["image"]
+    if fast:
+        fwd, dshape, to_full = _fast_visual(model, frozen, batch)
+        delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
+                          adv_steps, adv_lr, max_norm)
+        return to_full(delta)
+
+    def loss_of(delta):
+        b = dict(batch, image=img + delta)
+        return head_loss(model.infer(frozen, b, deterministic=True))
+
+    return _pgd_loop(loss_of, img.shape, img.dtype,
+                     adv_steps, adv_lr, max_norm)
+
+
 # ------------------------------------------------------------------ MoCo
 def make_pgd_moco(model, adv_steps: int, adv_lr: float, max_norm: float,
                   temperature: float, fast: bool = True):
@@ -127,7 +148,6 @@ def make_pgd_moco(model, adv_steps: int, adv_lr: float, max_norm: float,
         frozen = jax.lax.stop_gradient(params)
         k_modality = jax.lax.stop_gradient(k_modality)
         neg_queue = jax.lax.stop_gradient(neg_queue)
-        img = batch["image"]
 
         def head_loss(infer):
             q = l2_normalize(moco_head(frozen["moco_head"],
@@ -135,18 +155,8 @@ def make_pgd_moco(model, adv_steps: int, adv_lr: float, max_norm: float,
             loss, _ = infonce(q, k_modality, neg_queue, temperature)
             return loss / adv_steps
 
-        if fast:
-            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
-            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
-                              adv_steps, adv_lr, max_norm)
-            return to_full(delta)
-
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            return head_loss(model.infer(frozen, b, deterministic=True))
-
-        return _pgd_loop(loss_of, img.shape, img.dtype,
-                         adv_steps, adv_lr, max_norm)
+        return _pgd_single_image(model, frozen, batch, head_loss,
+                                 adv_steps, adv_lr, max_norm, fast)
 
     return attack
 
@@ -162,7 +172,6 @@ def make_pgd_barlowtwins(model, adv_steps: int, adv_lr: float,
     def attack(params, batch, k_modality, _unused=None):
         frozen = jax.lax.stop_gradient(params)
         k_modality = jax.lax.stop_gradient(k_modality)
-        img = batch["image"]
 
         def head_loss(infer):
             q, _ = barlowtwins_head(frozen["barlowtwins_head"],
@@ -171,18 +180,8 @@ def make_pgd_barlowtwins(model, adv_steps: int, adv_lr: float,
                                              bt_lambda)
             return loss / adv_steps
 
-        if fast:
-            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
-            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
-                              adv_steps, adv_lr, max_norm)
-            return to_full(delta)
-
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            return head_loss(model.infer(frozen, b, deterministic=True))
-
-        return _pgd_loop(loss_of, img.shape, img.dtype,
-                         adv_steps, adv_lr, max_norm)
+        return _pgd_single_image(model, frozen, batch, head_loss,
+                                 adv_steps, adv_lr, max_norm, fast)
 
     return attack
 
@@ -263,25 +262,14 @@ def make_pgd_vqa(model, adv_steps: int, adv_lr: float, max_norm: float,
 
     def attack(params, batch, vqa_targets):
         frozen = jax.lax.stop_gradient(params)
-        img = batch["image"]
 
         def head_loss(infer):
             logits = vqa_classifier(frozen["vqa_classifier"],
                                     infer["cls_feats"])
             return bce_with_logits(logits, vqa_targets) * label_size
 
-        if fast:
-            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
-            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
-                              adv_steps, adv_lr, max_norm)
-            return to_full(delta)
-
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            return head_loss(model.infer(frozen, b, deterministic=True))
-
-        return _pgd_loop(loss_of, img.shape, img.dtype,
-                         adv_steps, adv_lr, max_norm)
+        return _pgd_single_image(model, frozen, batch, head_loss,
+                                 adv_steps, adv_lr, max_norm, fast)
 
     return attack
 
@@ -316,17 +304,7 @@ def make_pgd_irtr(model, adv_steps: int, adv_lr: float, max_norm: float,
                 loss = loss + jnp.mean(jax.nn.logsumexp(neg, axis=1))
             return loss / adv_steps
 
-        if fast:
-            fwd, dshape, to_full = _fast_visual(model, frozen, batch)
-            delta = _pgd_loop(lambda d: head_loss(fwd(d)), dshape, img.dtype,
-                              adv_steps, adv_lr, max_norm)
-            return to_full(delta)
-
-        def loss_of(delta):
-            b = dict(batch, image=img + delta)
-            return head_loss(model.infer(frozen, b, deterministic=True))
-
-        return _pgd_loop(loss_of, img.shape, img.dtype,
-                         adv_steps, adv_lr, max_norm)
+        return _pgd_single_image(model, frozen, batch, head_loss,
+                                 adv_steps, adv_lr, max_norm, fast)
 
     return attack

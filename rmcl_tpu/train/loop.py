@@ -87,57 +87,67 @@ def build_greedy_attacker(cfg: RMCLConfig, model, tokenizer):
     return attacker
 
 
-def make_greedy_extras_fn(cfg: RMCLConfig, model):
-    """Returns `fn(ts, batch) -> extras` for the active framework, with
-    the model forwards JITTED once (an eager infer_k per step would
-    dispatch op-by-op).  Python scalars in the extras tuple are assembled
-    outside the jit."""
-    from rmcl_tpu.models.heads import moco_head
-    from rmcl_tpu.objectives.losses import l2_normalize
+GREEDY_FRAMEWORKS = ("moco", "barlowtwins", "nlvr2_attacked",
+                     "vqa_attacked", "irtr_attacked")
+
+
+def greedy_attack_framework(cfg: RMCLConfig):
     tasks = active_tasks(cfg)
-    if "moco" in tasks:
-        # the reference runs compute_geometric AFTER the momentum update
-        # (objectives.py:256-265 then :277-285), so the attacker must see
-        # the post-EMA key encoder — apply the same update the jitted
-        # step will perform (one tree_map; the step recomputes it in-graph)
-        from rmcl_tpu.objectives.contrastive import momentum_update
+    return next((t for t in GREEDY_FRAMEWORKS if t in tasks), None)
 
-        @jax.jit
-        def k_of(params, batch):
-            p = momentum_update(params, cfg.momentum)
-            infer_k = model.infer_k(p, batch, deterministic=True)
-            return jax.lax.stop_gradient(l2_normalize(
-                moco_head(p["k_moco_head"], infer_k["cls_feats"]), axis=1))
 
-        return lambda ts, batch: (k_of(ts.params, batch),
-                                  ts.state["proj_queue"], cfg.temperature)
-    if "barlowtwins" in tasks:
-        from rmcl_tpu.models.heads import barlowtwins_head
+def greedy_attack_extras(cfg: RMCLConfig, model, framework: str,
+                         params, state, batch):
+    """Pure, jittable attacker-extras computation — the SINGLE source of
+    truth shared by the pipeline path (make_greedy_extras_fn) and the
+    one-program attacked step (train/step.py make_attacked_train_step).
 
-        @jax.jit
-        def bt_k_of(params, batch):
-            infer = model.infer(params, batch, deterministic=True)
-            k, _ = barlowtwins_head(params["barlowtwins_head"],
-                                    infer["cls_feats"], training=True)
-            return jax.lax.stop_gradient(k)
+    moco: post-EMA key projection + queue — the reference runs
+    compute_geometric AFTER the momentum update (objectives.py:256-265
+    then :277-285), so the attacker must see the post-EMA key encoder.
+    """
+    from rmcl_tpu.models.heads import barlowtwins_head, moco_head
+    from rmcl_tpu.objectives.contrastive import momentum_update
+    from rmcl_tpu.objectives.losses import l2_normalize
 
-        return lambda ts, batch: (bt_k_of(ts.params, batch),
-                                  batch["text_ids"].shape[0], cfg.adv_lr)
-    if "nlvr2_attacked" in tasks:
-        return lambda ts, batch: (jnp.asarray(batch["answers"], jnp.int32),)
-    if "vqa_attacked" in tasks:
-        return lambda ts, batch: (jnp.asarray(batch["vqa_targets"]),)
-    if "irtr_attacked" in tasks:
+    if framework == "moco":
+        p = momentum_update(params, cfg.momentum)
+        infer_k = model.infer_k(p, batch, deterministic=True)
+        k = jax.lax.stop_gradient(l2_normalize(
+            moco_head(p["k_moco_head"], infer_k["cls_feats"]), axis=1))
+        return (k, state["proj_queue"], cfg.temperature)
+    if framework == "barlowtwins":
+        infer = model.infer(params, batch, deterministic=True)
+        k, _ = barlowtwins_head(params["barlowtwins_head"],
+                                infer["cls_feats"], training=True)
+        return (jax.lax.stop_gradient(k),
+                batch["text_ids"].shape[0], cfg.adv_lr)
+    if framework == "nlvr2_attacked":
+        return (jnp.asarray(batch["answers"], jnp.int32),)
+    if framework == "vqa_attacked":
+        return (jnp.asarray(batch["vqa_targets"]),)
+    if framework == "irtr_attacked":
+        infer = model.infer(params, batch, deterministic=True)
+        tr = jax.lax.stop_gradient(l2_normalize(
+            moco_head(params["moco_head"], infer["cls_feats"]), axis=1))
+        return (tr, cfg.temperature,
+                jnp.arange(batch["text_ids"].shape[0]))
+    raise ValueError(f"no greedy framework for {framework!r}")
 
-        @jax.jit
-        def tr_of(params, batch):
-            infer = model.infer(params, batch, deterministic=True)
-            return jax.lax.stop_gradient(l2_normalize(
-                moco_head(params["moco_head"], infer["cls_feats"]), axis=1))
 
-        return lambda ts, batch: (
-            tr_of(ts.params, batch), cfg.temperature,
-            jnp.arange(batch["text_ids"].shape[0]))
+def make_greedy_extras_fn(cfg: RMCLConfig, model):
+    """Returns `fn(ts, batch) -> extras` for the active framework
+    (jitted greedy_attack_extras)."""
+    framework = greedy_attack_framework(cfg)
+    if framework is None:
+        return None
+
+    @jax.jit
+    def f(params, state, batch):
+        return greedy_attack_extras(cfg, model, framework, params,
+                                    state, batch)
+
+    return lambda ts, batch: f(ts.params, ts.state, batch)
     return lambda ts, batch: None
 
 
@@ -341,65 +351,86 @@ class Trainer:
         # its device programs simply queue behind step N while its host
         # tokenisation work overlaps.
         pool = None
+        fut = None
         if cfg.host_prefetch and (self.greedy is not None
                                   or self.text_augment is not None
                                   or self.image_augment is not None):
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=1)
 
-        while self.steps_done < limit and epoch < cfg.max_epoch:
-            self.epoch = epoch
-            loader = self.dm.train_loader(self.per_host_batch)
-            loader.set_epoch(epoch)
-            it = iter(loader)
-            raw = next(it, None)
-            fut = (pool.submit(self._attach_text_attack, raw)
-                   if pool is not None and raw is not None else None)
-            while raw is not None:
-                if self.steps_done >= limit:
-                    break
-                batch = fut.result() if fut is not None \
-                    else self._attach_text_attack(raw)
-                db = _device_batch(batch, self.mesh)
-                rng, sub = jax.random.split(rng)
-                self.ts, metrics = self.step_fn(self.ts, db, sub)
-                self.steps_done += 1
-                # submit the NEXT batch's host attack now — after the
-                # step dispatch (self.ts holds step-N's async outputs,
-                # so the attacker targets exactly the params the
-                # reference ordering would) but before the blocking
-                # metric fetch below, so the attack's tokenizer work
-                # runs while the device executes step N
+        try:
+            while self.steps_done < limit and epoch < cfg.max_epoch:
+                self.epoch = epoch
+                loader = self.dm.train_loader(self.per_host_batch)
+                loader.set_epoch(epoch)
+                it = iter(loader)
                 raw = next(it, None)
-                if pool is not None and raw is not None:
-                    fut = pool.submit(self._attach_text_attack, raw)
-                self.train_metrics.update(
-                    {k: np.asarray(v) for k, v in metrics.items()})
-                if self.steps_done % log_every == 0:
-                    dt = (time.time() - t0) / log_every
-                    t0 = time.time()
-                    self.logger.log(self.steps_done, metrics,
-                                    prefix="train/")
-                    print(f"[train] step {self.steps_done}/{limit} "
-                          f"loss={float(metrics['total_loss']):.4f} "
-                          f"lr={float(metrics['lr']):.2e} "
-                          f"{dt*1e3:.0f} ms/step", flush=True)
+                fut = (pool.submit(self._attach_text_attack, raw)
+                       if pool is not None and raw is not None else None)
+                while raw is not None:
+                    if self.steps_done >= limit:
+                        break
+                    batch = fut.result() if fut is not None \
+                        else self._attach_text_attack(raw)
+                    fut = None
+                    db = _device_batch(batch, self.mesh)
+                    rng, sub = jax.random.split(rng)
+                    self.ts, metrics = self.step_fn(self.ts, db, sub)
+                    self.steps_done += 1
+                    # submit the NEXT batch's host attack now — after
+                    # the step dispatch (self.ts holds step-N's async
+                    # outputs, so the attacker targets exactly the
+                    # params the reference ordering would) but before
+                    # the blocking metric fetch below, so the attack's
+                    # tokenizer work runs while the device executes
+                    # step N
+                    raw = next(it, None)
+                    if pool is not None and raw is not None:
+                        fut = pool.submit(self._attach_text_attack, raw)
+                    self.train_metrics.update(
+                        {k: np.asarray(v) for k, v in metrics.items()})
+                    if self.steps_done % log_every == 0:
+                        dt = (time.time() - t0) / log_every
+                        t0 = time.time()
+                        self.logger.log(self.steps_done, metrics,
+                                        prefix="train/")
+                        print(f"[train] step {self.steps_done}/{limit} "
+                              f"loss={float(metrics['total_loss']):.4f} "
+                              f"lr={float(metrics['lr']):.2e} "
+                              f"{dt*1e3:.0f} ms/step", flush=True)
+                    if cfg.fast_dev_run:
+                        break
+                # drain a prefetch submitted for a batch we won't run
+                # (step-limit break) BEFORE epoch_wrapup: its worker
+                # updates the metric bag, which must not race the reset
+                if fut is not None:
+                    try:
+                        fut.result()
+                    except Exception as e:  # pragma: no cover
+                        print(f"[train] discarded prefetch failed: {e}",
+                              flush=True)
+                    fut = None
+                tm = self.train_metrics.epoch_wrapup("train")
+                vm = self.validate()
+                self.logger.log(self.steps_done, tm, prefix="train_epoch/")
+                self.logger.log(self.steps_done, vm, prefix="val_epoch/")
+                print(f"[epoch {epoch}] train_the_metric="
+                      f"{tm.get('train/the_metric', 0):.4f} "
+                      f"val_the_metric={vm.get('val/the_metric', 0):.4f}",
+                      flush=True)
+                self.ckpt.save_last(self.ts)
+                self.ckpt.maybe_save_best(self.ts, vm)
+                epoch += 1
                 if cfg.fast_dev_run:
                     break
-            tm = self.train_metrics.epoch_wrapup("train")
-            vm = self.validate()
-            self.logger.log(self.steps_done, tm, prefix="train_epoch/")
-            self.logger.log(self.steps_done, vm, prefix="val_epoch/")
-            print(f"[epoch {epoch}] train_the_metric="
-                  f"{tm.get('train/the_metric', 0):.4f} "
-                  f"val_the_metric={vm.get('val/the_metric', 0):.4f}",
-                  flush=True)
-            self.ckpt.save_last(self.ts)
-            self.ckpt.maybe_save_best(self.ts, vm)
-            epoch += 1
-            if cfg.fast_dev_run:
-                break
-        self.ckpt.wait()      # drain the async checkpoint write
+        finally:
+            # always reached on errors/preemption too: the async orbax
+            # save must COMMIT (force=True deleted the previous
+            # checkpoint dir at schedule time), and the prefetch worker
+            # must not outlive fit()
+            if pool is not None:
+                pool.shutdown(wait=True)
+            self.ckpt.wait()
         return self.ts
 
     # ---------------------------------------------------------------- val

@@ -322,58 +322,25 @@ def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
     the separate extras program paid.
     """
     from rmcl_tpu.attacks.greedy_fused import TABLE_KEYS, FusedGreedyAttack
-    from rmcl_tpu.models.heads import barlowtwins_head, moco_head
-    from rmcl_tpu.core.config import active_tasks
-    from rmcl_tpu.objectives.contrastive import momentum_update
-    from rmcl_tpu.objectives.losses import l2_normalize
+    from rmcl_tpu.train.loop import (
+        greedy_attack_extras, greedy_attack_framework)
 
     assert isinstance(greedy, FusedGreedyAttack), \
         "make_attacked_train_step needs the fused greedy attacker"
-    tasks = active_tasks(cfg)
-    framework = next((t for t in ("moco", "barlowtwins", "nlvr2_attacked",
-                                  "vqa_attacked", "irtr_attacked")
-                      if t in tasks), None)
-    assert framework is not None, \
-        f"no attacked framework active in {sorted(tasks)}"
+    framework = greedy_attack_framework(cfg)
+    assert framework is not None, "no attacked framework active"
     lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
     base_body = _train_step_body(cfg, model, tx, lr_sched)
     attack_body = greedy.build_attack_body()
-
-    def compute_extras(ts, clean):
-        if framework == "moco":
-            # post-EMA key projection (the same update the loss
-            # recomputes in-graph; the reference runs the attack after
-            # the momentum update)
-            p2 = momentum_update(ts.params, cfg.momentum)
-            infer_k = model.infer_k(p2, clean, deterministic=True)
-            k = jax.lax.stop_gradient(l2_normalize(
-                moco_head(p2["k_moco_head"], infer_k["cls_feats"]),
-                axis=1))
-            return (k, ts.state["proj_queue"], cfg.temperature)
-        if framework == "barlowtwins":
-            infer = model.infer(ts.params, clean, deterministic=True)
-            k, _ = barlowtwins_head(ts.params["barlowtwins_head"],
-                                    infer["cls_feats"], training=True)
-            return (jax.lax.stop_gradient(k),
-                    clean["text_ids"].shape[0], cfg.adv_lr)
-        if framework == "nlvr2_attacked":
-            return (clean["answers"].astype(jnp.int32),)
-        if framework == "vqa_attacked":
-            return (clean["vqa_targets"],)
-        # irtr_attacked: repaired semantics — in-batch text projections
-        infer = model.infer(ts.params, clean, deterministic=True)
-        tr = jax.lax.stop_gradient(l2_normalize(
-            moco_head(ts.params["moco_head"], infer["cls_feats"]),
-            axis=1))
-        return (tr, cfg.temperature,
-                jnp.arange(clean["text_ids"].shape[0]))
 
     def attacked_step(ts: TrainState, batch, rng):
         tables = [batch[k] for k in TABLE_KEYS[:-1]]
         nw = batch["gw_nw"]
         clean = {k: v for k, v in batch.items() if k not in TABLE_KEYS}
 
-        extras = compute_extras(ts, clean)
+        # single source of truth with the pipeline path (train/loop.py)
+        extras = greedy_attack_extras(cfg, model, framework,
+                                      ts.params, ts.state, clean)
         ids, masks, n_changed = attack_body(
             ts.params, clean, extras, *tables)
         batch2 = dict(clean, attacked_text_ids=ids,
