@@ -55,7 +55,12 @@ class RMCLConfig:
     seed: int = 0
     datasets: Tuple[str, ...] = ("coco", "vg", "sbu", "gcc")
     loss_names: Dict[str, float] = field(default_factory=lambda: loss_names({"itm": 1, "mlm": 1}))
-    batch_size: int = 4096  # desired global batch; grad accumulation fills the gap
+    # desired GLOBAL batch; when per_device_batchsize caps the per-step
+    # batch below it, the Trainer derives accumulate_grad_batches =
+    # batch_size // (per_device_batchsize * devices * hosts) and wraps
+    # the optimizer in optax.MultiSteps (train/loop.py setup,
+    # train/schedule.py make_optimizer) — the reference's run.py:86-88
+    batch_size: int = 4096
 
     # Image
     train_transform_keys: Tuple[str, ...] = ("pixelbert",)

@@ -3,11 +3,17 @@
 `load_wordpiece()` compiles wordpiece.cpp with g++ on first use (cached
 .so next to the source) and returns the bound library, or None when no
 toolchain is available — callers fall back to the Python path.
+
+The cached .so is keyed to a content hash of its source (sidecar
+`<so>.srchash`): a stale or foreign binary is never loaded — everything
+executed here is compiled from the reviewed .cpp in this tree (.so files
+are gitignored, never committed).
 """
 
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import os
 import subprocess
 import threading
@@ -19,6 +25,28 @@ _SO = os.path.join(_DIR, "_wordpiece.so")
 _lock = threading.Lock()
 _lib = None
 _tried = False
+
+
+def _compile_cached(src: str, so: str, opt: str) -> str:
+    """Compile `src` -> `so` unless an .so built from EXACTLY this source
+    (sha256 recorded in `<so>.srchash`) is already present."""
+    with open(src, "rb") as f:
+        want = hashlib.sha256(f.read()).hexdigest()
+    stamp = so + ".srchash"
+    try:
+        with open(stamp) as f:
+            have = f.read().strip()
+    except OSError:
+        have = None
+    if have != want or not os.path.exists(so):
+        tmp = so + f".build-{os.getpid()}"
+        subprocess.run(
+            ["g++", opt, "-shared", "-fPIC", "-std=c++17", "-o", tmp, src],
+            check=True, capture_output=True)
+        os.replace(tmp, so)
+        with open(stamp, "w") as f:
+            f.write(want)
+    return so
 
 
 def _bind(lib):
@@ -44,13 +72,7 @@ def load_wordpiece() -> Optional[ctypes.CDLL]:
             return _lib
         _tried = True
         try:
-            if (not os.path.exists(_SO)
-                    or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
-                subprocess.run(
-                    ["g++", "-O2", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _SO, _SRC],
-                    check=True, capture_output=True)
-            _lib = _bind(ctypes.CDLL(_SO))
+            _lib = _bind(ctypes.CDLL(_compile_cached(_SRC, _SO, "-O2")))
         except Exception:
             _lib = None
         return _lib
@@ -84,13 +106,8 @@ def load_imageproc() -> Optional[ctypes.CDLL]:
             return _ip_lib
         _ip_tried = True
         try:
-            if (not os.path.exists(_IP_SO)
-                    or os.path.getmtime(_IP_SO) < os.path.getmtime(_IP_SRC)):
-                subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-                     "-o", _IP_SO, _IP_SRC],
-                    check=True, capture_output=True)
-            _ip_lib = _bind_imageproc(ctypes.CDLL(_IP_SO))
+            _ip_lib = _bind_imageproc(
+                ctypes.CDLL(_compile_cached(_IP_SRC, _IP_SO, "-O3")))
         except Exception:
             _ip_lib = None
         return _ip_lib

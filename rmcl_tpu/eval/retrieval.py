@@ -74,12 +74,19 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
                         max_images: Optional[int] = None,
                         verbose: bool = True,
                         attack_text_fn=None,
-                        attack_image_fn=None) -> Tuple[float, ...]:
+                        attack_image_fn=None,
+                        shard_by_process: bool = True) -> Tuple[float, ...]:
     """Full cross-product IR/TR recall using `rank_output` scores.
 
     `attack_text_fn(ids, masks) -> (ids, masks)` and
     `attack_image_fn(canvas) -> canvas` perturb the cached inputs before
     ranking — the attacked-recall path (see compute_attacked_irtr_recall).
+
+    Multi-host: with `shard_by_process` (default) each host ranks only
+    its `rank::world` slice of the image rows and the partial score rows
+    are reassembled with a host-level all_gather — the reference's
+    rank-sliced score assembly (objectives.py:1315-1317,1537-1565).
+    Every host returns the identical full recall tuple.
     """
     cfg = trainer.cfg
     model, params = trainer.model, trainer.ts.params
@@ -138,7 +145,13 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
         return rank_output(params["rank_output"],
                            infer["cls_feats"])[:, 0]
 
-    # ---- 4. rank loop: images outer (cached embed), text chunks inner
+    # ---- 4. rank loop: images outer (cached embed), text chunks inner;
+    # multi-host: shard the image rows over processes, gather at the end
+    world = jax.process_count()
+    rank = jax.process_index()
+    my_iis = (list(range(len(img_rows)))[rank::world]
+              if (shard_by_process and world > 1)
+              else list(range(len(img_rows))))
     scores = np.zeros((len(img_rows), n_txt_total), np.float32)
     t0 = time.time()
     # find one sample index per image row for image fetch
@@ -146,7 +159,8 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     for i, (row, _) in dset.index_mapper.items():
         if row not in row_to_sample:
             row_to_sample[row] = i
-    for ii, row in enumerate(img_rows):
+    for ii in my_iis:
+        row = img_rows[ii]
         img = dset.get_image(row_to_sample[row])["image"][0]
         H, W = cfg.image_bucket_hw
         canvas = np.zeros((1, H, W, 3), np.float32)
@@ -164,6 +178,14 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
             dt = (time.time() - t0) / (ii + 1)
             print(f"[recall] {ii+1}/{len(img_rows)} images "
                   f"({dt:.2f}s/img)", flush=True)
+
+    if shard_by_process and world > 1:
+        # reassemble the full matrix from every host's partial rows
+        from rmcl_tpu.parallel import comm
+        parts = comm.all_gather({ii: scores[ii] for ii in my_iis})
+        for part in parts:
+            for ii, row_scores in part.items():
+                scores[ii] = row_scores
 
     return recall_at_k(scores, iids, tiids)
 

@@ -11,7 +11,8 @@ support resume (reference `resume_from_checkpoint`, run.py:108).
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+import shutil
+from typing import Dict, Optional
 
 import jax
 
@@ -22,18 +23,30 @@ def _as_tree(ts) -> dict:
 
 
 class CheckpointManager:
-    """Async saves: `save_last`/`maybe_save_best` return as soon as the
-    device arrays are snapshotted and the write is scheduled (orbax
-    commits in the background), so the ~seconds-long 113M-param
-    serialisation overlaps the next epoch instead of stalling the step
-    loop.  A barrier runs before re-touching the same directory and in
-    `wait()` (called at the end of fit / before process exit)."""
+    """Async, crash-safe saves.
+
+    `save_last`/`maybe_save_best` return as soon as the device arrays
+    are snapshotted and the write is scheduled (orbax commits in the
+    background), so the ~seconds-long 113M-param serialisation overlaps
+    the next epoch instead of stalling the step loop.
+
+    Crash safety: each save goes to a UNIQUE directory
+    (`<name>.<seq>`); the logical name ("last"/"best") is a pointer
+    file updated — and the superseded directory deleted — only AFTER
+    orbax confirms the new save committed (`wait_until_finished`).  A
+    crash mid-epoch therefore always leaves the previous valid
+    checkpoint reachable; a crash between commit and pointer swap
+    leaves the old pointer valid and at most one orphaned directory.
+    """
 
     def __init__(self, workdir: str, monitor: str = "val/the_metric"):
         self.workdir = os.path.abspath(workdir)
         self.monitor = monitor
         self.best_score: Optional[float] = None
         self._ckptr = None
+        self._seq = 0
+        # logical name -> dir scheduled but not yet pointer-committed
+        self._pending: Dict[str, str] = {}
         os.makedirs(self.workdir, exist_ok=True)
 
     def _c(self):
@@ -45,14 +58,64 @@ class CheckpointManager:
     def _path(self, name: str) -> str:
         return os.path.join(self.workdir, name)
 
-    def wait(self):
+    # ------------------------------------------------- pointer plumbing
+    def _ptr_file(self, logical: str) -> str:
+        return os.path.join(self.workdir, logical.upper() + ".ptr")
+
+    def _read_ptr(self, logical: str) -> Optional[str]:
+        try:
+            with open(self._ptr_file(logical)) as f:
+                return f.read().strip() or None
+        except OSError:
+            return None
+
+    def _write_ptr(self, logical: str, dirname: str):
+        tmp = self._ptr_file(logical) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(dirname)
+        os.replace(tmp, self._ptr_file(logical))
+
+    def _resolve(self, logical: str) -> Optional[str]:
+        """Directory currently holding `logical`, or None.  Falls back
+        to a plain `<logical>` directory (pre-pointer checkpoints)."""
+        ptr = self._read_ptr(logical)
+        if ptr and os.path.isdir(self._path(ptr)):
+            return ptr
+        if os.path.isdir(self._path(logical)):
+            return logical
+        return None
+
+    def _finalize(self):
+        """After `wait_until_finished`: every pending save is committed —
+        swing the pointers and delete the superseded directories."""
+        for logical, dirname in self._pending.items():
+            old = self._resolve(logical)
+            self._write_ptr(logical, dirname)
+            if old and old != dirname:
+                shutil.rmtree(self._path(old), ignore_errors=True)
+        self._pending.clear()
+
+    def _sync(self):
         if self._ckptr is not None:
             self._ckptr.wait_until_finished()
+        self._finalize()
+
+    def _schedule(self, logical: str, ts):
+        """Wait out the previous async save (finalizing its pointer),
+        then schedule this one into a fresh unique directory."""
+        c = self._c()
+        self._sync()
+        self._seq += 1
+        dirname = f"{logical}.{int(jax.device_get(ts.step))}-{self._seq}"
+        c.save(self._path(dirname), _as_tree(ts))
+        self._pending[logical] = dirname
+
+    # ---------------------------------------------------------- public
+    def wait(self):
+        self._sync()
 
     def save_last(self, ts):
-        c = self._c()
-        c.wait_until_finished()   # previous async save, if any
-        c.save(self._path("last"), _as_tree(ts), force=True)
+        self._schedule("last", ts)
 
     def maybe_save_best(self, ts, metrics: dict) -> bool:
         score = metrics.get(self.monitor)
@@ -60,9 +123,7 @@ class CheckpointManager:
             return False
         if self.best_score is None or score > self.best_score:
             self.best_score = float(score)
-            c = self._c()
-            c.wait_until_finished()
-            c.save(self._path("best"), _as_tree(ts), force=True)
+            self._schedule("best", ts)
             return True
         return False
 
@@ -70,12 +131,13 @@ class CheckpointManager:
         """Restore into the structure of `ts` (shapes/dtypes as template)."""
         from rmcl_tpu.train.step import TrainState
         c = self._c()
-        c.wait_until_finished()
-        restored = c.restore(self._path(name), _as_tree(ts))
+        self._sync()
+        target = self._resolve(name) or name
+        restored = c.restore(self._path(target), _as_tree(ts))
         return TrainState(params=restored["params"],
                           opt_state=restored["opt_state"],
                           state=restored["state"],
                           step=restored["step"])
 
     def has(self, name: str = "last") -> bool:
-        return os.path.isdir(self._path(name))
+        return self._resolve(name) is not None

@@ -34,6 +34,15 @@ from rmcl_tpu.train.step import (
     resolve_max_steps)
 
 
+class _ScratchBag:
+    """Thread-private stand-in for MetricBag.extra used by prefetched
+    attack calls; merged into train_metrics on the main thread only when
+    the batch actually trains."""
+
+    def __init__(self):
+        self.extra: Dict[str, Scalar] = {}
+
+
 def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     # jax.Array values pass straight through: the fused greedy attack
     # returns attacked ids as DEVICE arrays (fetch=False) that must not
@@ -148,7 +157,6 @@ def make_greedy_extras_fn(cfg: RMCLConfig, model):
                                     state, batch)
 
     return lambda ts, batch: f(ts.params, ts.state, batch)
-    return lambda ts, batch: None
 
 
 class Trainer:
@@ -220,7 +228,19 @@ class Trainer:
         self.per_host_batch = per_host
         steps_per_epoch = max(
             n_train // max(per_host * jax.process_count(), 1), 1)
-        self.max_steps = resolve_max_steps(cfg, steps_per_epoch)
+        # gradient accumulation: micro-batches per optimizer step, the
+        # reference's `grad_steps = batch_size // (per_gpu_batchsize *
+        # num_gpus * num_nodes)` fed to pl.Trainer(
+        # accumulate_grad_batches=...) (reference run.py:86-88,105).
+        # Only active when per_device_batchsize caps the step batch
+        # below cfg.batch_size (the desired GLOBAL recipe batch).
+        world_batch = per_host * max(jax.process_count(), 1)
+        self.accum_steps = (max(cfg.batch_size // world_batch, 1)
+                            if cfg.per_device_batchsize else 1)
+        # max_steps / LR schedule count OPTIMIZER steps (PL semantics);
+        # steps_per_epoch and steps_done count micro-batches
+        opt_steps_per_epoch = max(steps_per_epoch // self.accum_steps, 1)
+        self.max_steps = resolve_max_steps(cfg, opt_steps_per_epoch)
         self.steps_per_epoch = steps_per_epoch
 
         if params is None and cfg.load_path:
@@ -229,7 +249,7 @@ class Trainer:
             params, state = self._load_initial(params, state)
         self.model, self.ts, self.tx = create_train_state(
             jax.random.PRNGKey(cfg.seed), cfg, max_steps=self.max_steps,
-            params=params, state=state)
+            params=params, state=state, accum=self.accum_steps)
         self.greedy = None
         self.text_augment = None
         self.image_augment = None
@@ -261,12 +281,14 @@ class Trainer:
             from rmcl_tpu.train.step import make_attacked_train_step
             self.step_fn = make_attacked_train_step(
                 cfg, self.model, self.tx, self.greedy, mesh=self.mesh,
-                max_steps=self.max_steps, donate=True)
+                max_steps=self.max_steps, donate=True,
+                accum=self.accum_steps)
         else:
             self.step_fn = make_train_step(cfg, self.model, self.tx,
                                            mesh=self.mesh,
                                            max_steps=self.max_steps,
-                                           donate=True)
+                                           donate=True,
+                                           accum=self.accum_steps)
         self.eval_fn = make_eval_step(cfg, self.model, mesh=self.mesh)
         self.ckpt = CheckpointManager(self.workdir)
         if cfg.resume_from and self.ckpt.has("last"):
@@ -280,6 +302,22 @@ class Trainer:
             self.workdir, enabled=jax.process_index() == 0)
 
     # ------------------------------------------------------------- attack
+    def _prefetch_attack(self, raw: Dict[str, Any]):
+        """Worker-thread wrapper around `_attach_text_attack`: attack
+        telemetry goes into a PRIVATE scratch bag (the shared
+        train_metrics bag must not be mutated off-thread, and a
+        prefetched batch that never trains must not pollute epoch
+        num_changes/change_rate).  Returns (batch, scratch); the caller
+        merges the scratch only when it actually consumes the batch."""
+        scratch = _ScratchBag()
+        return self._attach_text_attack(raw, bag=scratch), scratch
+
+    def _merge_scratch(self, scratch: "_ScratchBag"):
+        for k, s in scratch.extra.items():
+            dst = self.train_metrics.extra.setdefault(k, Scalar())
+            dst.value += s.value
+            dst.n += s.n
+
     def _attach_text_attack(self, batch: Dict[str, Any],
                             bag: Optional[MetricBag] = None,
                             for_train: bool = True) -> Dict[str, Any]:
@@ -332,7 +370,10 @@ class Trainer:
     def fit(self, max_steps_override: Optional[int] = None,
             log_every: Optional[int] = None):
         cfg = self.cfg
-        limit = max_steps_override or self.max_steps
+        # self.max_steps counts optimizer steps; the loop counts
+        # micro-batches (×accum).  An explicit override is taken as a
+        # raw micro-batch count (tests / fast_dev_run convenience).
+        limit = max_steps_override or self.max_steps * self.accum_steps
         log_every = log_every or cfg.log_every_n_steps
         rng = jax.random.PRNGKey(cfg.seed + 1)
         # on resume_from, restart at the epoch the restored step sits in
@@ -365,13 +406,16 @@ class Trainer:
                 loader.set_epoch(epoch)
                 it = iter(loader)
                 raw = next(it, None)
-                fut = (pool.submit(self._attach_text_attack, raw)
+                fut = (pool.submit(self._prefetch_attack, raw)
                        if pool is not None and raw is not None else None)
                 while raw is not None:
                     if self.steps_done >= limit:
                         break
-                    batch = fut.result() if fut is not None \
-                        else self._attach_text_attack(raw)
+                    if fut is not None:
+                        batch, scratch = fut.result()
+                        self._merge_scratch(scratch)
+                    else:
+                        batch = self._attach_text_attack(raw)
                     fut = None
                     db = _device_batch(batch, self.mesh)
                     rng, sub = jax.random.split(rng)
@@ -386,7 +430,7 @@ class Trainer:
                     # step N
                     raw = next(it, None)
                     if pool is not None and raw is not None:
-                        fut = pool.submit(self._attach_text_attack, raw)
+                        fut = pool.submit(self._prefetch_attack, raw)
                     self.train_metrics.update(
                         {k: np.asarray(v) for k, v in metrics.items()})
                     if self.steps_done % log_every == 0:
@@ -401,8 +445,9 @@ class Trainer:
                     if cfg.fast_dev_run:
                         break
                 # drain a prefetch submitted for a batch we won't run
-                # (step-limit break) BEFORE epoch_wrapup: its worker
-                # updates the metric bag, which must not race the reset
+                # (step-limit break) BEFORE epoch_wrapup; its telemetry
+                # lives in a private scratch bag and is DISCARDED — an
+                # untrained batch must not count in epoch stats
                 if fut is not None:
                     try:
                         fut.result()
@@ -425,9 +470,9 @@ class Trainer:
                     break
         finally:
             # always reached on errors/preemption too: the async orbax
-            # save must COMMIT (force=True deleted the previous
-            # checkpoint dir at schedule time), and the prefetch worker
-            # must not outlive fit()
+            # save must COMMIT and its pointer swing (CheckpointManager
+            # keeps the previous 'last' until then), and the prefetch
+            # worker must not outlive fit()
             if pool is not None:
                 pool.shutdown(wait=True)
             self.ckpt.wait()

@@ -118,9 +118,17 @@ def _group_tx(cfg: RMCLConfig, max_steps: int, lr_scale: float, wd: float):
     raise ValueError(f"unknown optim_type {cfg.optim_type!r}")
 
 
-def make_optimizer(cfg: RMCLConfig, params,
-                   max_steps: int) -> Tuple[optax.GradientTransformation, Any]:
-    """Returns (tx, labels).  tx.init expects the full param pytree."""
+def make_optimizer(cfg: RMCLConfig, params, max_steps: int,
+                   accum: int = 1) -> Tuple[optax.GradientTransformation, Any]:
+    """Returns (tx, labels).  tx.init expects the full param pytree.
+
+    ``accum`` > 1 wraps the optimizer in ``optax.MultiSteps``: gradients
+    of `accum` consecutive micro-batches are averaged before one real
+    update (the reference's ``accumulate_grad_batches`` fed to
+    pl.Trainer, run.py:86-88,105).  The inner per-group LR schedules
+    advance once per REAL update, exactly like PL steps its scheduler
+    once per optimizer step.  ``max_steps`` is therefore counted in
+    optimizer steps, not micro-batches."""
     labels = param_group_labels(params)
     wd = cfg.weight_decay
     tx = optax.multi_transform(
@@ -133,4 +141,6 @@ def make_optimizer(cfg: RMCLConfig, params,
         },
         labels,
     )
+    if accum > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=int(accum))
     return tx, labels

@@ -58,12 +58,18 @@ def resolve_max_steps(cfg: RMCLConfig, steps_per_epoch: int = 1000) -> int:
 
 def create_train_state(rng, cfg: RMCLConfig,
                        max_steps: Optional[int] = None,
-                       params=None, state=None, mesh=None):
+                       params=None, state=None, mesh=None,
+                       accum: int = 1):
     """Returns (model, TrainState, tx).
 
     With a mesh that has a ``model`` axis, parameters are laid out with
     the Megatron tensor-parallel rules (parallel/sharding_rules.py);
-    optimizer state inherits the layout through ``tx.init``."""
+    optimizer state inherits the layout through ``tx.init``.
+
+    ``accum`` > 1 enables gradient accumulation (reference
+    `accumulate_grad_batches`, run.py:86-88,105): the optimizer applies
+    one averaged update every `accum` micro-batches; `max_steps` counts
+    optimizer steps."""
     model = ViLTModel(cfg)
     if params is None:
         params, init_state = init_vilt(rng, cfg)
@@ -74,7 +80,8 @@ def create_train_state(rng, cfg: RMCLConfig,
         params = apply_param_shardings(params, mesh)
         state = jax.tree.map(
             lambda x: jax.device_put(x, replicated_sharding(mesh)), state)
-    tx, _ = make_optimizer(cfg, params, max_steps or resolve_max_steps(cfg))
+    tx, _ = make_optimizer(cfg, params, max_steps or resolve_max_steps(cfg),
+                           accum=accum)
     ts = TrainState(params=params, opt_state=tx.init(params), state=state,
                     step=jnp.zeros((), jnp.int32))
     return model, ts, tx
@@ -233,18 +240,26 @@ def _scalar_metrics(ret: Dict[str, Any]) -> Dict[str, Any]:
 def make_train_step(cfg: RMCLConfig, model: ViLTModel,
                     tx: optax.GradientTransformation,
                     mesh=None, max_steps: Optional[int] = None,
-                    donate: bool = True) -> Callable:
+                    donate: bool = True, accum: int = 1) -> Callable:
     """Returns jitted ``train_step(ts, batch, rng) -> (ts, metrics)``.
 
     With a mesh, in/out shardings pin the TrainState replicated and the
     batch dim-0 sharded over the ``data`` axis.
+
+    ``accum`` must match the value `tx` was built with (MultiSteps): the
+    step body runs per micro-batch — EMA twins, the MoCo queue, and BN
+    stats advance every call, exactly like the reference's per-batch
+    training_step under `accumulate_grad_batches` — while `tx` applies
+    the averaged update on every `accum`-th call.  `ts.step` counts
+    micro-batches; the logged lr is indexed by optimizer step.
     """
     lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
-    train_step = _train_step_body(cfg, model, tx, lr_sched)
+    train_step = _train_step_body(cfg, model, tx, lr_sched, accum)
     return _jit_step(train_step, mesh, donate)
 
 
-def _train_step_body(cfg: RMCLConfig, model: ViLTModel, tx, lr_sched):
+def _train_step_body(cfg: RMCLConfig, model: ViLTModel, tx, lr_sched,
+                     accum: int = 1):
     def train_step(ts: TrainState, batch, rng):
         def loss_fn(p):
             total, ret, new_p, new_s = compute_all_tasks(
@@ -270,7 +285,7 @@ def _train_step_body(cfg: RMCLConfig, model: ViLTModel, tx, lr_sched):
 
         metrics = _scalar_metrics(ret)
         metrics["total_loss"] = total
-        metrics["lr"] = lr_sched(ts.step)
+        metrics["lr"] = lr_sched(ts.step // accum if accum > 1 else ts.step)
         new_ts = TrainState(params=params, opt_state=opt_state,
                             state=new_state, step=ts.step + 1)
         return new_ts, metrics
@@ -306,7 +321,7 @@ def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
                              tx: optax.GradientTransformation,
                              greedy, mesh=None,
                              max_steps: Optional[int] = None,
-                             donate: bool = True) -> Callable:
+                             donate: bool = True, accum: int = 1) -> Callable:
     """ONE XLA program for the full attacked train step: in-graph
     attacker extras -> the fused greedy text attack
     (attacks/greedy_fused.py) -> the train step.  The host supplies
@@ -330,7 +345,7 @@ def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
     framework = greedy_attack_framework(cfg)
     assert framework is not None, "no attacked framework active"
     lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
-    base_body = _train_step_body(cfg, model, tx, lr_sched)
+    base_body = _train_step_body(cfg, model, tx, lr_sched, accum)
     attack_body = greedy.build_attack_body()
 
     def attacked_step(ts: TrainState, batch, rng):

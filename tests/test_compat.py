@@ -373,3 +373,156 @@ def test_real_checkpoint_convert_and_forward():
     pred = logits[0].argmax(-1)
     agree = float((pred[1:8] == ids[0, 1:8]).mean())
     assert agree > 0.5, f"MLM self-reconstruction too low: {agree}"
+
+
+# ------------------------------------- full reference-namespace harness
+def _full_reference_sd(C=32, L=2, P=8, V=50, vqa=9, seed=0):
+    """Synthetic torch-layout state_dict covering the COMPLETE reference
+    namespace (SURVEY.md §5.4 / vilt_module.py:20-250): every task head,
+    the k_* momentum twins, proj_queue/ptr buffers, conv-layout
+    patch_embed, and the 2-row token-type table that NLVR2 configs must
+    expand to 3 rows (vilt_module.py:201-206)."""
+    rs = np.random.RandomState(seed)
+    sd = {}
+
+    def t(*s):
+        return rs.randn(*s).astype(np.float32)
+
+    def lin(name, out, inn, bias=True):
+        sd[name + ".weight"] = t(out, inn)
+        if bias:
+            sd[name + ".bias"] = t(out)
+
+    def ln(name, d):
+        sd[name + ".weight"] = t(d)
+        sd[name + ".bias"] = t(d)
+
+    def bn(name, d, affine=True):
+        sd[name + ".running_mean"] = t(d)
+        sd[name + ".running_var"] = np.abs(t(d)) + 0.5
+        if affine:
+            ln(name, d)
+
+    for pre in ("", "k_"):
+        sd[f"{pre}text_embeddings.word_embeddings.weight"] = t(V, C)
+        sd[f"{pre}text_embeddings.position_embeddings.weight"] = t(8, C)
+        sd[f"{pre}text_embeddings.token_type_embeddings.weight"] = t(2, C)
+        ln(f"{pre}text_embeddings.LayerNorm", C)
+        sd[f"{pre}token_type_embeddings.weight"] = t(2, C)  # -> 3 rows
+        tr = f"{pre}transformer"
+        sd[f"{tr}.cls_token"] = t(1, 1, C)
+        sd[f"{tr}.pos_embed"] = t(1, 1 + (32 // P) ** 2, C)
+        sd[f"{tr}.mask_token"] = t(1, 1, C)
+        sd[f"{tr}.patch_embed.proj.weight"] = t(C, 3, P, P)  # conv layout
+        sd[f"{tr}.patch_embed.proj.bias"] = t(C)
+        ln(f"{tr}.norm", C)
+        for i in range(L):
+            b = f"{tr}.blocks.{i}"
+            ln(b + ".norm1", C)
+            lin(b + ".attn.qkv", 3 * C, C)
+            lin(b + ".attn.proj", C, C)
+            ln(b + ".norm2", C)
+            lin(b + ".mlp.fc1", 4 * C, C)
+            lin(b + ".mlp.fc2", C, 4 * C)
+        lin(f"{pre}moco_head.projector.0", C, C)
+        ln(f"{pre}moco_head.projector.1", C)
+        lin(f"{pre}moco_head.projector.3", 16, C, bias=False)
+
+    lin("pooler.dense", C, C)
+    lin("mlm_score.transform.dense", C, C)
+    ln("mlm_score.transform.LayerNorm", C)
+    sd["mlm_score.decoder.weight"] = t(V, C)
+    sd["mlm_score.bias"] = t(V)
+    lin("itm_score.fc", 2, C)
+    lin("mpp_score.transform.dense", C, C)
+    ln("mpp_score.transform.LayerNorm", C)
+    lin("mpp_score.decoder", 256 * 3, C)
+    lin("vqa_classifier.0", 2 * C, C)
+    ln("vqa_classifier.1", 2 * C)
+    lin("vqa_classifier.3", vqa, 2 * C)
+    lin("nlvr2_classifier.0", 2 * C, 2 * C)
+    ln("nlvr2_classifier.1", 2 * C)
+    lin("nlvr2_classifier.3", 2, 2 * C)
+    lin("rank_output", 1, C)
+    lin("barlowtwins_head.projector.0", 64, C, bias=False)
+    bn("barlowtwins_head.projector.1", 64)
+    lin("barlowtwins_head.projector.3", 64, 64, bias=False)
+    bn("barlowtwins_head.projector.4", 64)
+    lin("barlowtwins_head.projector.6", 64, 64, bias=False)
+    bn("barlowtwins_head.norm", 64, affine=False)
+    sd["proj_queue"] = t(16, 8)
+    sd["proj_queue_ptr"] = np.zeros(1, np.int64)
+    return sd
+
+
+def test_full_namespace_convert_structure_and_roundtrip():
+    """The complete reference namespace converts to EXACTLY the pytree
+    structure init_vilt builds for an all-task config, and
+    convert -> export -> convert is byte-identical — so when the public
+    vilt_*.ckpt files land, only numeric values (not plumbing) can
+    differ (VERDICT r2 next #6)."""
+    cfg = _cfg({"mlm": 1, "mpp": 1, "itm": 1, "vqa": 1, "nlvr2": 1,
+                "irtr": 1, "moco": 1, "barlowtwins": 1},
+               vqav2_label_size=9, num_negative=8)
+    sd = _full_reference_sd()
+    p1, s1 = convert_state_dict(sd, cfg)
+
+    # structural identity with the fresh-init pytree (path sets; BT/moco
+    # projector dims are synthetic-small, so shapes are checked by the
+    # forward-parity tests instead)
+    init_p, init_s = init_vilt(jax.random.PRNGKey(0), cfg)
+    paths1 = {jax.tree_util.keystr(p)
+              for p, _ in jax.tree_util.tree_flatten_with_path(p1)[0]}
+    pathsi = {jax.tree_util.keystr(p)
+              for p, _ in jax.tree_util.tree_flatten_with_path(init_p)[0]}
+    # mppd/mpfr heads are rmcl-only completions (dormant in the
+    # reference) — excluded from the reference namespace by construction
+    pathsi = {p for p in pathsi
+              if not p.startswith("['mppd_score']")
+              and not p.startswith("['mpfr_score']")}
+    assert paths1 == pathsi, (
+        f"missing={sorted(pathsi - paths1)} extra={sorted(paths1 - pathsi)}")
+    assert set(s1) == set(init_s) == {"proj_queue", "proj_queue_ptr"}
+    # NLVR2 3-row expansion applied to BOTH prefixes
+    assert np.asarray(p1["token_type_embeddings"]["weight"]).shape[0] == 3
+    assert np.asarray(p1["k_token_type_embeddings"]["weight"]).shape[0] == 3
+
+    # convert -> export -> convert byte-identity
+    sd2 = export_state_dict(p1, s1, cfg.num_layers)
+    p2, s2 = convert_state_dict(sd2, cfg)
+    flat1 = jax.tree_util.tree_flatten_with_path(p1)[0]
+    flat2 = dict(jax.tree_util.tree_flatten_with_path(p2)[0])
+    for path, v1 in flat1:
+        assert np.array_equal(np.asarray(v1), np.asarray(flat2[path])), path
+    assert np.array_equal(np.asarray(s1["proj_queue"]),
+                          np.asarray(s2["proj_queue"]))
+    assert int(s1["proj_queue_ptr"]) == int(s2["proj_queue_ptr"])
+
+
+def test_full_namespace_graft_byte_equality():
+    """Head grafting over the full namespace: the grafted-and-converted
+    MLM/ITM heads are byte-equal to the pretrain checkpoint's
+    (vilt_module.py:134-160)."""
+    cfg = _cfg({"mlm": 1, "mpp": 1, "itm": 1, "vqa": 1, "nlvr2": 1,
+                "irtr": 1, "moco": 1, "barlowtwins": 1},
+               vqav2_label_size=9, num_negative=8)
+    sd = _full_reference_sd(seed=0)
+    pre = _full_reference_sd(seed=1)
+    grafted = graft_pretrain_heads(sd, pre, {"mlm": 1, "itm": 1})
+    pg, _ = convert_state_dict(grafted, cfg)
+
+    m = pg["mlm_score"]
+    assert np.array_equal(np.asarray(m["transform"]["dense"]["kernel"]),
+                          pre["mlm_score.transform.dense.weight"].T)
+    assert np.array_equal(np.asarray(m["transform"]["dense"]["bias"]),
+                          pre["mlm_score.transform.dense.bias"])
+    assert np.array_equal(np.asarray(m["decoder"]["kernel"]),
+                          pre["mlm_score.decoder.weight"].T)
+    assert np.array_equal(np.asarray(m["bias"]), pre["mlm_score.bias"])
+    assert np.array_equal(np.asarray(pg["itm_score"]["fc"]["kernel"]),
+                          pre["itm_score.fc.weight"].T)
+    assert np.array_equal(np.asarray(pg["itm_score"]["fc"]["bias"]),
+                          pre["itm_score.fc.bias"])
+    # non-grafted modules keep the base checkpoint's values
+    assert np.array_equal(np.asarray(pg["pooler"]["dense"]["kernel"]),
+                          sd["pooler.dense.weight"].T)

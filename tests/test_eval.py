@@ -656,3 +656,38 @@ def test_trainer_nlvr2_attacked_greedy_e2e(tmp_path):
     assert np.isfinite(float(metrics["nlvr2_original_loss"]))
     assert np.isfinite(float(metrics["nlvr2_attacked_loss"]))
     assert "num_changes" in metrics
+
+
+def test_trainer_grad_accumulation_wiring(tmp_path):
+    """Trainer derives accumulate_grad_batches = batch_size //
+    (per_device_batchsize * devices * hosts) like reference
+    run.py:86-88 and wires optax.MultiSteps: ts.step counts
+    micro-batches while the optimizer applies one update per cycle."""
+    import optax
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow), n=16)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    cfg = build_config(
+        "task_mlm_itm",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=1, warmup_steps=0, max_epoch=1,
+        per_device_batchsize=1, batch_size=16,   # 8 virtual devices -> accum 2
+        draw_false_image=1, num_workers=2, max_image_len=-1,
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab)
+    tr.setup()
+    assert tr.accum_steps == 2
+    assert isinstance(tr.ts.opt_state, optax.MultiStepsState)
+    tr.fit()   # max_steps=1 optimizer step -> 2 micro-batches
+    assert int(tr.ts.step) == 2
+    assert int(tr.ts.opt_state.gradient_step) == 1
+    assert int(tr.ts.opt_state.mini_step) == 0

@@ -64,3 +64,110 @@ def test_two_process_data_parallel_rmcl_step():
     # the step actually trained (loss changed) and gathers worked
     assert results[0][0] != results[0][1]
     assert results[0][2] == 1 and results[1][2] == 1
+
+
+def _make_eval_data(datadir):
+    """VQA + caption arrow tables and a tiny vocab, shared by both
+    worker processes."""
+    import io
+
+    import numpy as np
+    import pyarrow as pa
+    from PIL import Image
+
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+
+    def png(seed):
+        img = Image.fromarray(np.random.RandomState(seed).randint(
+            0, 255, (40, 48, 3), np.uint8))
+        b = io.BytesIO()
+        img.save(b, format="PNG")
+        return b.getvalue()
+
+    vqa = os.path.join(datadir, "vqa")
+    os.makedirs(vqa)
+    vrows = {
+        "image": [png(i) for i in range(8)],
+        "questions": [["is the dog big"] for _ in range(8)],
+        "answers": [[["yes", "no"]] for _ in range(8)],
+        "answer_labels": [[[0, 1]] for _ in range(8)],
+        "answer_scores": [[[1.0, 0.3]] for _ in range(8)],
+        "question_id": [[100 + i] for i in range(8)],
+        "split": ["train"] * 8,
+    }
+    vt = pa.table(vrows)
+    for name in ("vqav2_train", "vqav2_trainable_val", "vqav2_val"):
+        with pa.OSFile(os.path.join(vqa, f"{name}.arrow"), "wb") as f:
+            with pa.RecordBatchFileWriter(f, vt.schema) as w:
+                w.write_table(vt)
+
+    coco = os.path.join(datadir, "coco")
+    os.makedirs(coco)
+    crows = {
+        "image": [png(100 + i) for i in range(5)],
+        "caption": [["a dog running in the park"] for _ in range(5)],
+        "image_id": [f"{i}.jpg" for i in range(5)],
+        "split": ["train"] * 5,
+    }
+    ct = pa.table(crows)
+    for name in ("coco_caption_karpathy_train", "coco_caption_karpathy_test"):
+        with pa.OSFile(os.path.join(coco, f"{name}.arrow"), "wb") as f:
+            with pa.RecordBatchFileWriter(f, ct.schema) as w:
+                w.write_table(ct)
+
+    make_tiny_vocab(os.path.join(datadir, "vocab.txt"),
+                    ["dog", "big", "is", "the", "running", "park", "a"])
+
+
+def test_two_process_eval_vqa_submission_and_recall(tmp_path):
+    """Multi-host eval paths at REAL process_count=2 (VERDICT r2 #5):
+    VQA submission gather (each qid exactly once in the rank-0 merged
+    json, reference objectives.py:1537-1565) and host-sharded recall
+    score assembly == single-host recall (objectives.py:1315-1317)."""
+    import json
+
+    datadir = str(tmp_path / "data")
+    os.makedirs(datadir)
+    _make_eval_data(datadir)
+
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_mp_eval_worker.py")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(i), datadir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=root)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=570)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"eval worker failed:\n{out[-6000:]}"
+
+    results = {}
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith("MP_EVAL_RESULT")]
+        assert lines, f"no MP_EVAL_RESULT in worker output:\n{out[-6000:]}"
+        _, pid, payload = lines[0].split(" ", 2)
+        results[int(pid)] = json.loads(payload)
+
+    assert set(results) == {0, 1}
+    # merged submission: every qid exactly once, written by rank 0 only
+    assert results[0]["sub_qids"] == list(range(100, 108))
+    assert results[1]["sub_qids"] is None
+    assert results[0]["vqa_score_present"]
+    # sharded recall identical to the unsharded computation on each host
+    for r in results.values():
+        assert r["recall_sharded"] == r["recall_local"]
+    assert results[0]["recall_sharded"] == results[1]["recall_sharded"]

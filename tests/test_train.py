@@ -449,3 +449,56 @@ def test_attacked_train_step_one_program_8dev_mesh(tmp_path, mesh_kind):
     assert np.isfinite(float(metrics["attacked_txt_loss"]))
     assert float(metrics["num_changes"]) >= 0
     assert int(ts1.state["proj_queue_ptr"]) == 8
+
+
+# ---------------------------------------------------- grad accumulation
+def test_grad_accumulation_matches_big_batch():
+    """N accumulated micro-steps == one Nx-batch optimizer step.
+
+    The reference feeds `accumulate_grad_batches = batch_size //
+    (per_gpu_batchsize * num_gpus * num_nodes)` to pl.Trainer
+    (reference run.py:86-88,105); here optax.MultiSteps averages the
+    micro-gradients.  MLM with one masked token per row makes the
+    big-batch loss exactly the mean of the micro losses, so loss AND
+    the post-cycle parameter update must match bit-for-nearly-bit.
+    Runs on the 8-virtual-device data mesh."""
+    assert jax.device_count() >= 8
+    cfg = _tiny({"mlm": 1}, warmup_steps=0)
+    mesh = make_mesh(jax.devices()[:8])
+    model, ts_full, tx_full = create_train_state(jax.random.PRNGKey(0), cfg)
+    _, ts_acc, tx_acc = create_train_state(jax.random.PRNGKey(0), cfg,
+                                           accum=2)
+
+    b = make_fake_batch(cfg, batch=16)
+    labels = np.full_like(b["text_ids"], -100)
+    labels[:, 2] = b["text_ids"][:, 2]
+    full = {k: jnp.asarray(v) for k, v in b.items()}
+    full["text_ids_mlm"] = full["text_ids"]
+    full["text_labels_mlm"] = jnp.asarray(labels)
+    halves = [{k: v[i * 8:(i + 1) * 8] for k, v in full.items()}
+              for i in range(2)]
+
+    step_full = make_train_step(cfg, model, tx_full, mesh=mesh, donate=False)
+    step_acc = make_train_step(cfg, model, tx_acc, mesh=mesh, donate=False,
+                               accum=2)
+
+    rng = jax.random.PRNGKey(1)
+    ts_f1, mf = step_full(ts_full, shard_batch(full, mesh), rng)
+
+    w0 = np.array(
+        ts_acc.params["transformer"]["blocks"]["attn"]["qkv"]["kernel"])
+    ts_a1, m1 = step_acc(ts_acc, shard_batch(halves[0], mesh), rng)
+    # mid-cycle: gradients buffered, params untouched
+    np.testing.assert_allclose(w0, np.array(
+        ts_a1.params["transformer"]["blocks"]["attn"]["qkv"]["kernel"]))
+    ts_a2, m2 = step_acc(ts_a1, shard_batch(halves[1], mesh), rng)
+
+    np.testing.assert_allclose(
+        (float(m1["total_loss"]) + float(m2["total_loss"])) / 2,
+        float(mf["total_loss"]), rtol=1e-5)
+    # lr metric is indexed by optimizer step (micro-step // accum)
+    assert float(m1["lr"]) == float(mf["lr"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.array(a), np.array(b), rtol=2e-4, atol=1e-6),
+        ts_a2.params, ts_f1.params)
