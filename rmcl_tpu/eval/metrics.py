@@ -176,12 +176,34 @@ class MetricBag:
             if arr.ndim == 0 and k not in self.metrics:
                 self.extra.setdefault(k, Scalar()).update(arr)
 
+    # ------------------------------------------------ cross-host reduce
+    def _cross_host_sync(self):
+        """Sum every accumulator's fields across hosts (the reference's
+        PL Metric dist_reduce_fx="sum", vilt/gadgets/my_metrics.py).
+
+        Safe for both update styles: host-local per-sample updates sum
+        to the global totals, and identical replicated-scalar updates on
+        every host scale numerator and denominator equally, leaving the
+        mean unchanged."""
+        import jax
+        if jax.process_count() == 1:
+            return
+        from rmcl_tpu.parallel import comm
+        mine = {k: {f: float(x) for f, x in vars(m).items()}
+                for k, m in {**self.metrics, **self.extra}.items()}
+        everyone = comm.all_gather(mine)
+        for k, m in {**self.metrics, **self.extra}.items():
+            for f in vars(m):
+                setattr(m, f, sum(host[k][f] for host in everyone
+                                  if k in host))
+
     # ------------------------------------------------------------- wrapup
     def epoch_wrapup(self, split: str = "val",
                      recall: Optional[Tuple[float, ...]] = None
                      ) -> Dict[str, float]:
         """Compute all metrics + `the_metric` model-selection scalar
         (reference vilt_utils.py:86-313), then reset."""
+        self._cross_host_sync()
         out = {k: m.compute() for k, m in self.metrics.items()}
         out.update({k: m.compute() for k, m in self.extra.items()})
         the_metric = 0.0

@@ -53,6 +53,8 @@ class ViTSpec(NamedTuple):
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     attn_impl: str = ""         # "" -> derive from use_pallas; else
                                 # "xla" | "xla_bf16" | "pallas" | "flash"
+                                # | "fused" (LN1+qkv+attn+proj Pallas
+                                #   half-block, ops/pallas_block.py)
     dropout_impl: str = "fp32"  # "fp32" | "pack8" | "rbg" (layers.dropout)
     block_layout: str = "3d"    # "3d" | "2d" (flat B*S scan carry)
 
@@ -395,16 +397,27 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
     Hh, D = spec.num_heads, spec.head_dim
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
 
-    y = L.layer_norm(bp["norm1"], x, eps=VIT_LN_EPS)
-    qkv = L.linear(bp["attn"]["qkv"], y).reshape(B, S, 3, Hh, D)
-    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
-    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
-    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
-    attn = masked_attention(q, k, v, mask, D ** -0.5,
-                            use_pallas=spec.use_pallas,
-                            impl=spec.attn_impl or None)
-    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
-    attn = L.linear(bp["attn"]["proj"], attn)
+    if spec.attn_impl == "fused":
+        # one Pallas kernel for LN1 + qkv + attention + proj
+        # (ops/pallas_block.py); dropout + residual stay outside so the
+        # RNG stream and remat structure match the unfused path
+        from rmcl_tpu.ops.pallas_block import fused_attn_half
+        attn = fused_attn_half(
+            x, mask, bp["norm1"]["weight"], bp["norm1"]["bias"],
+            bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+            Hh, D ** -0.5, VIT_LN_EPS)
+    else:
+        y = L.layer_norm(bp["norm1"], x, eps=VIT_LN_EPS)
+        qkv = L.linear(bp["attn"]["qkv"], y).reshape(B, S, 3, Hh, D)
+        q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+        k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+        v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+        attn = masked_attention(q, k, v, mask, D ** -0.5,
+                                use_pallas=spec.use_pallas,
+                                impl=spec.attn_impl or None)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
+        attn = L.linear(bp["attn"]["proj"], attn)
     attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic,
                      impl=spec.dropout_impl)
     x = x + attn
@@ -437,6 +450,10 @@ def block_forward_2d(bp, x2d, mask, *, spec: ViTSpec, rng=None,
     C = x2d.shape[-1]
     Hh, D = spec.num_heads, spec.head_dim
     rngs = jax.random.split(rng, 3) if rng is not None else (None,) * 3
+    if spec.attn_impl == "fused":
+        raise ValueError('attention_impl="fused" requires '
+                         'block_layout="3d" (the kernel consumes the '
+                         '(B, S, C) activation directly)')
 
     y = L.layer_norm(bp["norm1"], x2d, eps=VIT_LN_EPS)
     qkv = L.linear(bp["attn"]["qkv"], y).reshape(B, S, 3, Hh, D)

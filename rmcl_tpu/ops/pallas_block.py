@@ -1,0 +1,392 @@
+"""Fused attention half-block Pallas kernel (TPU).
+
+One kernel computes the ENTIRE pre-MLP half of a ViLT transformer block
+(reference vision_transformer.py:335-376, 309-332):
+
+    out = proj( attention( qkv( LN1(x) ) ) )          # pre-dropout,
+                                                      # pre-residual
+
+with grid=(B,): one sample per grid step.  Why fusing pays on v5e
+(ROADMAP "Remaining perf levers" #1):
+
+  * the (B, H, S, S) score/probability tensors NEVER touch HBM — the
+    xla_bf16 path writes+reads them in bf16 every layer (~25 MB/layer
+    at b16, S=256);
+  * the qkv reshape/slice/transposes around the attention core become
+    VMEM relayouts inside the kernel instead of HBM-visible ops;
+  * the qkv/proj weights have constant BlockSpec index maps, so Mosaic
+    keeps them VMEM-resident across all B grid steps (loaded from HBM
+    once per layer call, not per sample);
+  * LN1's fp32 round trip fuses into the same pass.
+
+The matmuls are MXU-friendly: qkv is (S, C) @ (C, 3C) with K=768 (full
+128-lane contraction, unlike the D=64-contraction per-head flash
+layout), proj is (S, C) @ (C, C).
+
+Backward: custom_vjp whose bwd is ``jax.vjp`` of an XLA twin computing
+identical math (bf16-S² attention) — the S² tensors hit HBM in the
+backward only.  Under full remat the forward kernel runs twice per
+layer (fwd + replay) and the XLA bwd once, so the fusion win applies to
+~2/3 of the attention executions; a Pallas bwd is the follow-up lever.
+
+Numerics: LN in fp32, matmul accumulation fp32, activations bf16 —
+parity with the XLA block path is bf16-rounding-level
+(tests/test_pallas.py::test_fused_block_matches_xla).
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_NEG_INF = -1e30
+_S_ALIGN = 128
+
+
+def _interpret() -> bool:
+    return os.environ.get("RMCL_PALLAS_INTERPRET", "0") == "1"
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+# ------------------------------------------------------------------ kernel
+def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
+                       bqkv_ref, wproj_ref, bproj_ref, o_ref,
+                       *, H: int, scale: float, eps: float):
+    x = x_ref[0]                        # (S, C) activation dtype
+    S, C = x.shape
+    D = C // H
+
+    # LN1 in fp32 (models/layers.py:layer_norm)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + eps)) * lnw_ref[:] + lnb_ref[:]
+    y = y.astype(x.dtype)
+
+    # qkv projection: (S, C) @ (C, 3C), full-K MXU contraction
+    qkv = jnp.dot(y, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = qkv + bqkv_ref[:].astype(x.dtype)
+
+    # head split WITHOUT lane-dim reshapes (Mosaic rejects splitting the
+    # minor dim): transpose to (3C, S), then split the SUBLANE dim into
+    # (3, H, D, S) — q/k/v land in (H, D, S) layout
+    qkv_t = qkv.T.reshape(3, H, D, S)
+    q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
+
+    # scores[h,s,t] = sum_d q[h,d,s] k[h,d,t]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale     # (H, S, S) fp32
+    scores = scores + bias_ref[0][None, :, :]           # key-validity row
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)
+
+    # out[h,d,s] = sum_t v[h,d,t] p[h,s,t]  (K = S: full MXU contraction)
+    attn = jax.lax.dot_general(
+        v, p.astype(x.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)  # (H, D, S)
+    # (H, D, S) -> sublane-merge (C, S) -> transpose (S, C)
+    attn = attn.reshape(C, S).T
+
+    out = jnp.dot(attn, wproj_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = out + bproj_ref[:].astype(x.dtype)
+
+
+def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+              H: int, scale: float, eps: float):
+    B, S, C = x.shape
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+
+    # weight HBM residency in the activation dtype (models/layers.py
+    # linear casts the fp32 master weights at use)
+    dt = x.dtype
+    wqkv_c, wproj_c = wqkv.astype(dt), wproj.astype(dt)
+
+    const2 = lambda b: (0, 0)  # noqa: E731  (weights: VMEM-resident)
+
+    out = pl.pallas_call(
+        functools.partial(_half_block_kernel, H=H, scale=scale, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S_pad * C * (4 * C) + 4 * B * (C // 1) * S_pad * S_pad,
+            bytes_accessed=(2 * B * S_pad * C + 4 * C * C) * x.dtype.itemsize,
+            transcendentals=B * (C // (C // 12)) * S_pad * S_pad,
+        ),
+        interpret=_interpret(),
+    )(x, bias, ln_w, ln_b, wqkv_c, bqkv, wproj_c, bproj)
+    return out[:, :S, :]
+
+
+# ------------------------------------------------------------- XLA twin
+def _xla_twin(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+              H: int, scale: float, eps: float):
+    """Same math in XLA ops — used for the backward pass (its vjp) and
+    as the CPU/parity reference."""
+    from rmcl_tpu.ops.attention import mha_xla_bf16, mha_xla
+    B, S, C = x.shape
+    D = C // H
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = ((xc * jax.lax.rsqrt(var + eps)) * ln_w + ln_b).astype(x.dtype)
+    qkv = (jnp.dot(y, wqkv.astype(x.dtype),
+                   preferred_element_type=jnp.float32).astype(x.dtype)
+           + bqkv.astype(x.dtype))
+    qkv = qkv.reshape(B, S, 3, H, D)
+    q = qkv[:, :, 0].transpose(0, 2, 1, 3)
+    k = qkv[:, :, 1].transpose(0, 2, 1, 3)
+    v = qkv[:, :, 2].transpose(0, 2, 1, 3)
+    mha = mha_xla_bf16 if x.dtype == jnp.bfloat16 else mha_xla
+    attn = mha(q, k, v, mask, scale)
+    attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
+    out = jnp.dot(attn, wproj.astype(x.dtype),
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    return out + bproj.astype(x.dtype)
+
+
+# ---------------------------------------------------------- bwd kernel
+def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
+                           wproj_ref, bqkv_ref, g_ref,
+                           dx_ref, dqkv_ref, y_ref, attn_ref,
+                           dlnw_ref, dlnb_ref,
+                           *, H: int, scale: float, eps: float):
+    """Per-sample backward: recomputes y/qkv/p (remat-style — the S²
+    probabilities can never be saved to HBM), then the data gradients.
+    Weight gradients need cross-sample reductions, so the kernel also
+    emits the intermediates they contract over (y, attn_out, dqkv) and
+    XLA does the three small (B·S)-contraction matmuls outside."""
+    x = x_ref[0]                        # (S, C)
+    g = g_ref[0]
+    S, C = x.shape
+    D = C // H
+
+    # ---- recompute forward up to p (identical math to _half_block_kernel)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    lnw = lnw_ref[:]
+    y = xhat * lnw + lnb_ref[:]
+    y = y.astype(x.dtype)
+
+    qkv = jnp.dot(y, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = qkv + bqkv_ref[:].astype(x.dtype)
+    qkv_t = qkv.T.reshape(3, H, D, S)
+    q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
+
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_ref[0][None, :, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)       # (H, S, S) fp32
+    pb = p.astype(x.dtype)
+
+    # attn_out (pre-proj) for dWproj: (H, D, S) -> (C, S) -> (S, C)
+    att = jax.lax.dot_general(
+        v, pb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    attn = att.reshape(C, S).T
+    attn_ref[0] = attn
+    y_ref[0] = y
+
+    # ---- backward
+    # dattn = g @ Wproj^T; transpose-free: (C,S) layout via (Wp @ g^T)
+    dattn_t = jnp.dot(wproj_ref[:], g.T,
+                      preferred_element_type=jnp.float32
+                      ).astype(x.dtype)              # (C, S)
+    datt = dattn_t.reshape(H, D, S)
+
+    # dp[h,s,t] = sum_d datt[h,d,s] v[h,d,t]
+    dp = jax.lax.dot_general(
+        datt, v, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)          # (H, S, S) fp32
+    ds = (p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+          * scale).astype(x.dtype)                   # (H, S, S)
+
+    # dq[h,d,s] = sum_t k[h,d,t] ds[h,s,t]   (K = S contraction)
+    dq = jax.lax.dot_general(
+        k, ds, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)  # (H, D, S)
+    # dk[h,d,t] = sum_s q[h,d,s] ds[h,s,t]
+    dk = jax.lax.dot_general(
+        q, ds, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    # dv[h,d,t] = sum_s datt[h,d,s] p[h,s,t]
+    dv = jax.lax.dot_general(
+        datt, pb, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+
+    # (3, H, D, S) -> sublane-merge (3C, S) -> (S, 3C)
+    dqkv = jnp.concatenate(
+        [dq[None], dk[None], dv[None]], axis=0).reshape(3 * C, S).T
+    dqkv_ref[0] = dqkv
+
+    # dy = dqkv @ Wqkv^T, transpose-free: (Wqkv @ dqkv^T) = (C, S)
+    dy_t = jnp.dot(wqkv_ref[:], dqkv.T,
+                   preferred_element_type=jnp.float32)        # (C, S)
+    dy = dy_t.T                                               # (S, C) fp32
+
+    # LN backward (fp32)
+    dyh = dy * lnw
+    mean_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
+    mean_dyh_x = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dyh - mean_dyh - xhat * mean_dyh_x)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    # per-sample LN weight-grad partials (summed over B by XLA)
+    dlnw_ref[0] = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dlnb_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
+              H: int, scale: float, eps: float):
+    B, S, C = x.shape
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, S_pad - S), (0, 0)])
+        mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+    dt = x.dtype
+    wqkv_c, wproj_c = wqkv.astype(dt), wproj.astype(dt)
+
+    const2 = lambda b: (0, 0)  # noqa: E731
+    row = lambda b: (b, 0, 0)  # noqa: E731
+
+    dx, dqkv, y, attn, dlnw_b, dlnb_b = pl.pallas_call(
+        functools.partial(_half_block_bwd_kernel, H=H, scale=scale,
+                          eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, 3 * C), row,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((B, S_pad, 3 * C), x.dtype),
+            jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+            jax.ShapeDtypeStruct((B, 1, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * S_pad * C * 4 * C,
+            bytes_accessed=8 * B * S_pad * C * x.dtype.itemsize,
+            transcendentals=B * 12 * S_pad * S_pad,
+        ),
+        # peak ~20 MB (weights + three fp32 S² tensors live at once):
+        # above the 16 MB default scoped limit, within v5e's physical
+        # VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, bias, ln_w, ln_b, wqkv_c, wproj_c, bqkv, g)
+
+    # weight grads: three batched-token contractions (K = B·S_pad, full
+    # MXU) + bias sums — tiny next to the kernel work
+    g2 = g.reshape(B * S_pad, C).astype(jnp.float32)
+    dwproj = attn.reshape(B * S_pad, C).astype(jnp.float32).T @ g2
+    dbproj = jnp.sum(g2, axis=0)
+    dqkv2 = dqkv.reshape(B * S_pad, 3 * C).astype(jnp.float32)
+    dwqkv = y.reshape(B * S_pad, C).astype(jnp.float32).T @ dqkv2
+    dbqkv = jnp.sum(dqkv2, axis=0)
+    dlnw = jnp.sum(dlnw_b[:, 0, :], axis=0)
+    dlnb = jnp.sum(dlnb_b[:, 0, :], axis=0)
+    return (dx[:, :S, :], dlnw, dlnb, dwqkv, dbqkv, dwproj, dbproj)
+
+
+# ------------------------------------------------------------ custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_attn_half(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                    H: int, scale: float, eps: float):
+    """proj(attention(qkv(LN1(x)))) — pre-dropout, pre-residual.
+
+    x: (B, S, C); mask: (B, S) 1=valid key.  Forward AND backward are
+    fused Pallas kernels (the S² tensors never touch HBM in either
+    direction); set RMCL_PALLAS_BLOCK_XLA_BWD=1 to fall back to
+    differentiating the XLA twin."""
+    return _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                     H, scale, eps)
+
+
+def _vjp_fwd(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+             H, scale, eps):
+    out = _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                    H, scale, eps)
+    return out, (x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj)
+
+
+def _vjp_bwd(H, scale, eps, res, g):
+    x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj = res
+    if os.environ.get("RMCL_PALLAS_BLOCK_XLA_BWD", "0") == "1":
+        _, pullback = jax.vjp(
+            lambda x_, lw, lb, wq, bq, wp, bp: _xla_twin(
+                x_, mask, lw, lb, wq, bq, wp, bp, H, scale, eps),
+            x, ln_w, ln_b, wqkv, bqkv, wproj, bproj)
+        dx, dlw, dlb, dwq, dbq, dwp, dbp = pullback(g)
+    else:
+        dx, dlw, dlb, dwq, dbq, dwp, dbp = _bwd_impl(
+            x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
+            H, scale, eps)
+    return dx, None, dlw, dlb, dwq, dbq, dwp, dbp
+
+
+fused_attn_half.defvjp(_vjp_fwd, _vjp_bwd)

@@ -43,6 +43,59 @@ class _ScratchBag:
         self.extra: Dict[str, Scalar] = {}
 
 
+def _resolve_ckpt_dir(load_path: str):
+    """Resolve an orbax load_path through CheckpointManager's pointer
+    scheme: accepts the checkpoint dir itself, a workdir containing
+    LAST.ptr/BEST.ptr, or a logical `<workdir>/last` / `<workdir>/best`
+    path (pre-pointer layout, or resolved via the sibling pointer
+    file).  Returns the concrete dir or None (not an orbax source)."""
+
+    def from_ptr(workdir: str, logical: str):
+        ptr = os.path.join(workdir, logical.upper() + ".ptr")
+        if os.path.isfile(ptr):
+            with open(ptr) as f:
+                target = os.path.join(workdir, f.read().strip())
+            if os.path.isdir(target):
+                return target
+        return None
+
+    base = os.path.basename(os.path.normpath(load_path))
+    if os.path.isdir(load_path):
+        resolved = from_ptr(load_path, "last") or from_ptr(load_path,
+                                                           "best")
+        if resolved and not os.path.isfile(
+                os.path.join(load_path, "_CHECKPOINT_METADATA")):
+            return resolved          # a workdir: follow its pointer
+        return load_path             # a concrete checkpoint dir
+    if base in ("last", "best"):
+        return from_ptr(os.path.dirname(os.path.normpath(load_path))
+                        or ".", base)
+    return None
+
+
+def _host_rows(v) -> np.ndarray:
+    """Host-owned rows of an eval-step output.
+
+    Multi-host eval outputs are globally batch-sharded; fetching the
+    full array would need cross-host transfers (and the per-host
+    qid/_valid bookkeeping refers to the HOST-LOCAL loader shard
+    anyway).  Non-fully-addressable arrays therefore yield exactly this
+    host's rows, assembled from the addressable shards in batch order;
+    everything else (single-process, replicated scalars) fetches whole.
+    Cross-host metric totals are reduced once per epoch in
+    MetricBag.epoch_wrapup (reference PL dist_reduce_fx="sum")."""
+    if not isinstance(v, jax.Array) or v.is_fully_addressable:
+        return np.asarray(v)
+    if v.ndim == 0:
+        # replicated scalar (e.g. the batch-mean loss): any local copy
+        return np.asarray(v.addressable_shards[0].data)
+    pieces = {}
+    for s in v.addressable_shards:
+        start = s.index[0].start or 0 if s.index else 0
+        pieces.setdefault(start, np.asarray(s.data))
+    return np.concatenate([pieces[k] for k in sorted(pieces)], axis=0)
+
+
 def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     # jax.Array values pass straight through: the fused greedy attack
     # returns attacked ids as DEVICE arrays (fetch=False) that must not
@@ -182,13 +235,14 @@ class Trainer:
         cfg = self.cfg
         if not cfg.load_path:
             return params, state
-        if os.path.isdir(cfg.load_path):
+        ckpt_dir = _resolve_ckpt_dir(cfg.load_path)
+        if ckpt_dir:
             # orbax checkpoint dir (written by CheckpointManager):
             # restore params/state into the fresh-init template
             import orbax.checkpoint as ocp
             restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(cfg.load_path))
-            print(f"[rmcl] restored orbax checkpoint {cfg.load_path}")
+                os.path.abspath(ckpt_dir))
+            print(f"[rmcl] restored orbax checkpoint {ckpt_dir}")
             return restored["params"], restored.get("state", state)
         from rmcl_tpu.compat import load_torch_checkpoint
         pre = None
@@ -512,11 +566,12 @@ class Trainer:
             rng, sub = jax.random.split(rng)
             ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)
             valid = batch.get("_valid")
-            bag.update({k: np.asarray(v) for k, v in ret.items()
-                        if hasattr(v, "ndim")}, valid=valid)
+            retl = {k: _host_rows(v) for k, v in ret.items()
+                    if hasattr(v, "ndim")}
+            bag.update(retl, valid=valid)
             if vqa_writer is not None and "qid" in batch:
                 qids = list(batch["qid"])
-                logits = np.asarray(ret["vqa_logits"])
+                logits = retl["vqa_logits"]
                 if valid is not None and not valid.all():
                     qids = [q for q, keep in zip(qids, valid) if keep]
                     logits = logits[valid]

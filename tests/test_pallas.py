@@ -86,3 +86,77 @@ def test_pallas_padded_positions_ignored(qkvm):
     out2 = flash_masked_attention(q, k2, v2, mask, scale)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2),
                                atol=2e-5)
+
+
+# ------------------------------------------------- fused attention block
+@pytest.fixture(scope="module")
+def block_inputs():
+    B, S, C, H = 2, 37, 32, 4
+    r = np.random.RandomState(1)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.3).astype(np.int32))
+    ln_w = jnp.asarray(1.0 + 0.1 * r.randn(C), jnp.float32)
+    ln_b = jnp.asarray(0.1 * r.randn(C), jnp.float32)
+    wqkv = jnp.asarray(r.randn(C, 3 * C) * 0.05, jnp.float32)
+    bqkv = jnp.asarray(r.randn(3 * C) * 0.05, jnp.float32)
+    wproj = jnp.asarray(r.randn(C, C) * 0.05, jnp.float32)
+    bproj = jnp.asarray(r.randn(C) * 0.05, jnp.float32)
+    return x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, H
+
+
+def test_fused_block_matches_xla(block_inputs):
+    """Fused LN1+qkv+attention+proj kernel == the XLA twin (which is
+    itself the block_forward math, reference vision_transformer.py:
+    335-376)."""
+    from rmcl_tpu.ops.pallas_block import _xla_twin, fused_attn_half
+    x, mask, lw, lb, wq, bq, wp, bp, H = block_inputs
+    C = x.shape[-1]
+    scale = (C // H) ** -0.5
+    ours = fused_attn_half(x, mask, lw, lb, wq, bq, wp, bp, H, scale,
+                           1e-12)
+    ref = _xla_twin(x, mask, lw, lb, wq, bq, wp, bp, H, scale, 1e-12)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_fused_block_grads_match_xla(block_inputs):
+    """custom_vjp backward (XLA-twin vjp) == direct autodiff of the
+    twin, for x and every weight."""
+    from rmcl_tpu.ops.pallas_block import _xla_twin, fused_attn_half
+    x, mask, lw, lb, wq, bq, wp, bp, H = block_inputs
+    C = x.shape[-1]
+    scale = (C // H) ** -0.5
+
+    def loss_fused(x, lw, lb, wq, bq, wp, bp):
+        return jnp.sum(fused_attn_half(x, mask, lw, lb, wq, bq, wp, bp,
+                                       H, scale, 1e-12) ** 2)
+
+    def loss_ref(x, lw, lb, wq, bq, wp, bp):
+        return jnp.sum(_xla_twin(x, mask, lw, lb, wq, bq, wp, bp,
+                                 H, scale, 1e-12) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(
+        x, lw, lb, wq, bq, wp, bp)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        x, lw, lb, wq, bq, wp, bp)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_fused_block_in_model_forward():
+    """attention_impl='fused' through the full block_forward matches the
+    default path (same params, same rng)."""
+    from rmcl_tpu.models.vit import ViTSpec, block_forward, init_block
+    C, H, B, S = 32, 4, 2, 23
+    spec = ViTSpec(hidden_size=C, num_heads=H, drop_rate=0.0,
+                   use_pallas=False, attn_impl="")
+    spec_f = spec._replace(attn_impl="fused")
+    bp = init_block(jax.random.PRNGKey(0), spec)
+    r = np.random.RandomState(2)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.2).astype(np.int32))
+    ref = block_forward(bp, x, mask, spec=spec, deterministic=True)
+    out = block_forward(bp, x, mask, spec=spec_f, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
