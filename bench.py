@@ -185,6 +185,8 @@ def main():
         drop_rate=float(os.environ.get("BENCH_DROPOUT", "0.1")),
         dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
         block_layout=os.environ.get("BENCH_BLOCK_LAYOUT", "3d"),
+        **({"max_loops": int(os.environ["BENCH_GREEDY_LOOPS"])}
+           if "BENCH_GREEDY_LOOPS" in os.environ else {}),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)

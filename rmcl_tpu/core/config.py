@@ -165,8 +165,13 @@ class RMCLConfig:
     # underfills the MXU and XLA fuses the softmax chain already.  The
     # Pallas kernel stays available for long-sequence regimes.
     use_pallas_attention: bool = False
-    # explicit attention implementation: "" (derive from the flag above)
-    # | "xla" | "pallas" (rmcl kernel) | "flash" (jax library TPU kernel)
+    # explicit attention implementation: "" derives the measured-best
+    # path (models/vilt.py:_derive_attn_impl — the fused Pallas
+    # half-block kernel on a single TPU chip, xla_bf16 on TPU meshes,
+    # plain xla elsewhere) | "xla" | "xla_bf16" | "fused"
+    # (LN1+qkv+attn+proj Pallas half-block, ops/pallas_block.py)
+    # | "pallas" (attention-only rmcl kernel) | "flash" (jax library
+    # TPU kernel)
     attention_impl: str = ""
     # greedy text attack scheduling: "fused" runs the whole max_loops
     # substitution loop as ONE on-device XLA program (2 dispatches per
@@ -179,6 +184,17 @@ class RMCLConfig:
     # (separate programs) -> 782 ms.  Parity with the pipeline is
     # asserted in tests (same loss, same updated params).
     fuse_attack_step: bool = True
+    # greedy attack live-set compaction: after each fused-attack loop,
+    # samples whose word budget / eligible-word set is exhausted stop
+    # contributing picks; once the live count fits in ceil(frac * B)
+    # the remaining loops run on a gathered compact batch — a geometric
+    # cascade ceil(B*frac^k) down to 1 sample (B=16: 16 -> 4 -> 1) —
+    # shrinking the dominant B*n_candidates candidate-scoring forward
+    # accordingly.  Exact for per-sample-independent attack losses
+    # (moco, nlvr2, vqa, irtr — skipped automatically for barlowtwins,
+    # whose loss is batch-coupled); token-id parity with the host
+    # orchestrator is asserted in tests/test_attacks.py.  0 disables.
+    greedy_compact_frac: float = 0.25
     # dropout mask bit source: "fp32" (threefry bernoulli) | "pack8"
     # (byte lanes from 8x fewer threefry words) | "rbg" (hardware RNG).
     # Measured on v5e b16: threefry dropout costs 54 ms of the 260 ms
@@ -190,6 +206,11 @@ class RMCLConfig:
     # reshapes only around the attention core; see models/vit.py)
     block_layout: str = "3d"
     compute_dtype: str = "bfloat16"
+    # MoCo negatives-queue storage dtype ("" = compute_dtype): bf16
+    # halves the (128, 65536) l_neg reads in every InfoNCE and greedy
+    # candidate-scoring call; keys are l2-normalized so bf16 rounding
+    # is benign (PARITY #17).  Set "float32" for bit-faithful storage.
+    queue_dtype: str = ""
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
     remat_blocks: bool = False  # jax.checkpoint each transformer block

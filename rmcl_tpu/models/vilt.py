@@ -30,6 +30,28 @@ def _needs(cfg: RMCLConfig, name: str) -> bool:
     return cfg.loss_names.get(name, 0) > 0
 
 
+def _derive_attn_impl(cfg: RMCLConfig) -> str:
+    """cfg.attention_impl="" derives the measured-best implementation:
+    the fused LN1+qkv+attention+proj Pallas half-block kernel
+    (ops/pallas_block.py) on a SINGLE TPU chip (b16 197.3 ms vs 199.3
+    xla_bf16; b64 773 vs 891 — kills the b64 droop; attack hot path
+    782 -> 670 ms), else "" (-> xla_bf16 on TPU inside masked_attention,
+    plain xla elsewhere).  Multi-device meshes keep the XLA path:
+    pallas_call is an opaque custom call to pjit's partitioner, so the
+    kernel would not shard over the batch grid."""
+    if cfg.attention_impl:
+        return cfg.attention_impl
+    import math
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if (on_tpu and cfg.block_layout == "3d"
+            and math.prod(cfg.mesh_shape) == 1):
+        return "fused"
+    return ""
+
+
 def make_spec(cfg: RMCLConfig) -> ViTSpec:
     return ViTSpec(
         hidden_size=cfg.hidden_size,
@@ -42,7 +64,7 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         use_pallas=cfg.use_pallas_attention,
         remat=cfg.remat_blocks,
         remat_policy=cfg.remat_policy,
-        attn_impl=cfg.attention_impl,
+        attn_impl=_derive_attn_impl(cfg),
         dropout_impl=cfg.dropout_impl,
         block_layout=cfg.block_layout,
     )
@@ -91,9 +113,15 @@ def init_vilt(key, cfg: RMCLConfig):
         params["k_token_type_embeddings"] = jax.tree.map(jnp.copy, params["token_type_embeddings"])
         params["k_transformer"] = jax.tree.map(jnp.copy, params["transformer"])
         params["k_moco_head"] = jax.tree.map(jnp.copy, params["moco_head"])
-        # queue initialised with random UNnormalised vectors (reference :92-94)
+        # queue initialised with random UNnormalised vectors (reference
+        # :92-94).  Storage dtype follows cfg.queue_dtype (default: the
+        # compute dtype — bf16 on TPU halves the l_neg HBM reads every
+        # InfoNCE/attack-scoring call; the keys are l2-normalized
+        # projections, bf16 rounding is ~0.4% relative — PARITY #17)
+        qdt = jnp.dtype(cfg.queue_dtype or cfg.compute_dtype)
         state["proj_queue"] = jax.random.normal(
-            next(ks), (MOCO_PROJ_DIM, cfg.num_negative), jnp.float32)
+            next(ks), (MOCO_PROJ_DIM, cfg.num_negative), jnp.float32
+        ).astype(qdt)
         state["proj_queue_ptr"] = jnp.zeros((), jnp.int32)
 
     if _needs(cfg, "barlowtwins"):

@@ -90,24 +90,26 @@ def infonce(q, k, neg_queue, temperature: float):
 
 def _view_diagnostics(q, k, neg_queue, suffix: str) -> Dict[str, Any]:
     """Pos/neg L2-cosine-dot panels (reference objectives.py:300-312),
-    batched instead of per-sample loops."""
+    batched instead of per-sample loops.  All three negative panels
+    derive from ONE (B, K) dot-product matmul plus per-column queue
+    norms — the queue (C, K) is read once, never transposed."""
     q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
-    negT = neg_queue.T.astype(jnp.float32)              # (K, C)
     ret = {
         f"pos_dist_attacked_{suffix}": jnp.mean(
             jnp.linalg.norm(q32 - k32, axis=1)),
         f"pos_cosine_attacked_{suffix}": jnp.mean(cosine_similarity(q32, k32)),
         f"pos_dot_attacked_{suffix}": jnp.mean(jnp.sum(q32 * k32, axis=1)),
     }
-    # for each sample: mean over queue of distances, then mean over batch
-    d2 = (jnp.sum(q32 ** 2, axis=1)[:, None]
-          - 2 * q32 @ negT.T + jnp.sum(negT ** 2, axis=1)[None, :])
+    s = q32 @ neg_queue.astype(jnp.float32)             # (B, K) dots
+    qn2 = jnp.sum(q32 ** 2, axis=1)                     # (B,)
+    nn2 = jnp.sum(neg_queue.astype(jnp.float32) ** 2, axis=0)  # (K,)
+    d2 = qn2[:, None] - 2 * s + nn2[None, :]
     ret[f"neg_dist_attacked_{suffix}"] = jnp.mean(
         jnp.sqrt(jnp.maximum(d2, 0)))
-    qn = q32 / jnp.maximum(jnp.linalg.norm(q32, axis=1, keepdims=True), 1e-6)
-    nn_ = negT / jnp.maximum(jnp.linalg.norm(negT, axis=1, keepdims=True), 1e-6)
-    ret[f"neg_cosine_attacked_{suffix}"] = jnp.mean(qn @ nn_.T)
-    ret[f"neg_dot_attacked_{suffix}"] = jnp.mean(q32 @ negT.T)
+    denom = (jnp.maximum(jnp.sqrt(qn2), 1e-6)[:, None]
+             * jnp.maximum(jnp.sqrt(nn2), 1e-6)[None, :])
+    ret[f"neg_cosine_attacked_{suffix}"] = jnp.mean(s / denom)
+    ret[f"neg_dot_attacked_{suffix}"] = jnp.mean(s)
     return ret
 
 
