@@ -196,6 +196,13 @@ class GreedyAttack:
     Both are jitted once (static shapes: n_candidates padded by repeating
     the unmodified sentence)."""
 
+    # loss_per_sample row i depends only on sample i (given batch-shared
+    # extras), so the fused attack may gather the still-live samples into
+    # a smaller batch mid-loop (greedy_fused.py live-set compaction).
+    # Subclasses whose loss couples the batch (barlowtwins: the
+    # correlation matrix mixes all rows) must set this False.
+    per_sample_independent = True
+
     def __init__(self, cfg, model, tokenizer, synonyms):
         self.cfg = cfg
         self.model = model
@@ -216,6 +223,12 @@ class GreedyAttack:
         """How per-sample extras broadcast to the candidate batch.
         Default: leave unchanged (batch-shared extras)."""
         return extras
+
+    def compact_extras(self, extras, idx):
+        """Gather the per-sample leaves of `extras` to the live-sample
+        rows `idx` (the compaction twin of tile_extras).  Returning
+        None marks the framework as non-compactable."""
+        return None
 
     def score_candidates(self, params, flat_batch, B: int, nc: int,
                          extras, aux):
@@ -413,6 +426,10 @@ class GreedyAttackMoco(GreedyAttack):
         k_modality, neg_queue, temperature = extras
         return (jnp.repeat(k_modality, nc, axis=0), neg_queue, temperature)
 
+    def compact_extras(self, extras, idx):
+        k_modality, neg_queue, temperature = extras
+        return (k_modality[idx], neg_queue, temperature)
+
 
 class GreedyAttackBarlowTwins(GreedyAttack):
     """BT greedy scoring via an exact rank-1 update of the correlation
@@ -422,6 +439,8 @@ class GreedyAttackBarlowTwins(GreedyAttack):
     c = q.T@k/psb by outer(q_new_i - q_old_i, k_i)/psb, so the new loss is
     computable in O(d) per candidate given precomputed batch terms.
     extras = (k (B,D), per_step_bs, lam)."""
+
+    per_sample_independent = False  # correlation loss couples the batch
 
     def loss_per_sample(self, params, batch, extras, word_embeds=None):
         from rmcl_tpu.models.heads import barlowtwins_head
@@ -490,6 +509,10 @@ class GreedyAttackNlvr2(GreedyAttack):
         (labels,) = extras
         return (jnp.repeat(labels, nc, axis=0),)
 
+    def compact_extras(self, extras, idx):
+        (labels,) = extras
+        return (labels[idx],)
+
 
 class GreedyAttackVqa(GreedyAttack):
     """Per-sample BCE*label_size (reference GreedyAttack_vqa :1263-1478).
@@ -509,6 +532,10 @@ class GreedyAttackVqa(GreedyAttack):
     def tile_extras(self, extras, nc):
         (targets,) = extras
         return (jnp.repeat(targets, nc, axis=0),)
+
+    def compact_extras(self, extras, idx):
+        (targets,) = extras
+        return (targets[idx],)
 
 
 class GreedyAttackIrtr(GreedyAttack):
@@ -531,6 +558,13 @@ class GreedyAttackIrtr(GreedyAttack):
     def tile_extras(self, extras, nc):
         text_repr, temperature, sample_ids = extras
         return (text_repr, temperature, jnp.repeat(sample_ids, nc, axis=0))
+
+    def compact_extras(self, extras, idx):
+        # text_repr stays the FULL in-batch panel: sample i's loss reads
+        # its own row q_i against all B text projections, so compacting
+        # the query rows while keeping the panel is exact.
+        text_repr, temperature, sample_ids = extras
+        return (text_repr, temperature, sample_ids[idx])
 
 
 class GreedyAttackNlvr2CrossEntropy(GreedyAttack):
@@ -578,6 +612,10 @@ class GreedyAttackNlvr2CrossEntropy(GreedyAttack):
     def tile_extras(self, extras, nc):
         (labels,) = extras
         return (jnp.repeat(labels, nc, axis=0),)
+
+    def compact_extras(self, extras, idx):
+        (labels,) = extras
+        return (labels[idx],)
 
     def score_candidates(self, params, flat_batch, B, nc, extras, aux):
         cls_orig, grad_cls, per = aux                 # (B, 2C), (B, 2C), (B,)

@@ -203,15 +203,20 @@ class FusedGreedyAttack:
                   attackable, cand_tok, cand_len, cand_valid):
             B, W = word_len.shape
             M = word_tok.shape[-1]
-            rep_keys = {}
-            for key in ("text_labels", "image", "image_0", "image_1",
-                        "vqa_targets", "answers"):
-                if key in dev_batch:
-                    rep_keys[key] = jnp.repeat(dev_batch[key], NC, axis=0)
 
-            def body(carry):
+            def make_rep_keys(db):
+                return {key: jnp.repeat(db[key], NC, axis=0)
+                        for key in ("text_labels", "image", "image_0",
+                                    "image_1", "vqa_targets", "answers")
+                        if key in db}
+
+            def make_body(dev_batch, rep_keys, extras, attackable,
+                          cand_tok, cand_len, cand_valid):
+              def body(carry):
                 (word_tok, word_len, history, n_changed,
                  sal_c, per_c, aux_c, need_grad) = carry
+                B, W = word_len.shape
+                M = word_tok.shape[-1]
                 ids, masks = build_sequences(word_tok, word_len, T,
                                              cls_id, sep_id, pad_id)
                 batch = dict(dev_batch, text_ids=ids, text_masks=masks)
@@ -289,7 +294,8 @@ class FusedGreedyAttack:
                 n_changed = n_changed + improved.astype(jnp.int32)
                 return ((new_tok, new_len, history, n_changed,
                          sal, per_loss, aux, jnp.any(improved)),
-                        jnp.any(has_pick))
+                        has_pick)
+              return body
 
             # while-loop with early exit: once NO sample has an eligible
             # pick, the body is provably a no-op (no commits, history
@@ -297,14 +303,34 @@ class FusedGreedyAttack:
             # The reference (and the host path) burn all max_loops; real
             # sentences exhaust their <=20%-of-words budget after 1-3
             # loops, so this is a large saving at identical outputs.
+            #
+            # Live-set compaction (cfg.greedy_compact_frac): per-sample
+            # liveness decays loop over loop, but every loop still pays
+            # the full (B*NC)-row candidate-scoring forward.  Once the
+            # live count fits in Bc = ceil(frac*B), the remaining loops
+            # run on a gathered compact batch (same body at batch Bc),
+            # then the attacked rows scatter back.  Exact when the
+            # attack loss is per-sample independent (each body op on a
+            # live sample sees identical inputs; dead samples no-op in
+            # either formulation); barlowtwins (batch-coupled) and
+            # frameworks without compact_extras skip it automatically.
+            body = make_body(dev_batch, make_rep_keys(dev_batch), extras,
+                             attackable, cand_tok, cand_len, cand_valid)
+            frac = float(getattr(base.cfg, "greedy_compact_frac", 0.0))
+            Bc = int(np.ceil(B * frac)) if frac > 0 else 0
+            compactable = (
+                0 < Bc < B and base.per_sample_independent
+                and base.compact_extras(extras, jnp.arange(1)) is not None)
+            live_floor = Bc if compactable else 0
+
             def w_cond(state):
                 i, live, _ = state
-                return (i < base.max_loops) & live
+                return (i < base.max_loops) & (jnp.sum(live) > live_floor)
 
             def w_body(state):
                 i, _, carry = state
-                carry, any_pick = body(carry)
-                return i + 1, any_pick, carry
+                carry, live = body(carry)
+                return i + 1, live, carry
 
             history0 = jnp.zeros((B, W), bool)
             n0 = jnp.zeros((B,), jnp.int32)
@@ -321,12 +347,76 @@ class FusedGreedyAttack:
                                 aux_sd)
             sal0 = jnp.zeros((B, W), jnp.float32)
             per0 = jnp.zeros((B,), jnp.float32)
-            _, _, (word_tok, word_len, _, n_changed,
-                   *_rest) = jax.lax.while_loop(
+            i1, live1, (word_tok, word_len, history, n_changed,
+                        sal, per, aux, need_grad) = jax.lax.while_loop(
                 w_cond, w_body,
-                (jnp.int32(0), jnp.bool_(True),
+                (jnp.int32(0), jnp.ones((B,), bool),
                  (word_tok, word_len, history0, n0,
                   sal0, per0, aux0, jnp.bool_(True))))
+
+            if compactable:
+                # geometric cascade of compact stages Bc_k = ceil(B *
+                # frac^k) down to 1 (e.g. B=16, frac=0.25 -> [4, 1]):
+                # each stage runs while more than the NEXT bucket's
+                # worth of samples stay live, then re-gathers.  Tail
+                # loops where a single stubborn sentence keeps the
+                # whole batch's scoring forward alive shrink to a
+                # 1-sample program.
+                stages, k = [], 1
+                while True:
+                    bc = int(np.ceil(B * frac ** k))
+                    if not stages or bc < stages[-1]:
+                        stages.append(bc)
+                    if bc <= 1 or len(stages) >= 3:
+                        break
+                    k += 1
+
+                live = live1
+                for s_i, bc in enumerate(stages):
+                    floor_next = (stages[s_i + 1]
+                                  if s_i + 1 < len(stages) else 0)
+                    # stable sort: live rows first, then the top bc
+                    idx = jnp.argsort(
+                        jnp.where(live, 0, 1).astype(jnp.int32),
+                        stable=True)[:bc]
+                    db_c = {k_: (v[idx] if getattr(v, "ndim", 0) >= 1
+                                 and v.shape[0] == B else v)
+                            for k_, v in dev_batch.items()}
+                    body_c = make_body(
+                        db_c, make_rep_keys(db_c),
+                        base.compact_extras(extras, idx),
+                        attackable[idx], cand_tok[idx], cand_len[idx],
+                        cand_valid[idx])
+
+                    def wc_cond(state, floor_next=floor_next):
+                        i, lv, _ = state
+                        return ((i < base.max_loops)
+                                & (jnp.sum(lv) > floor_next))
+
+                    def wc_body(state, body_c=body_c):
+                        i, _, carry = state
+                        carry, lv = body_c(carry)
+                        return i + 1, lv, carry
+
+                    carry_c = (word_tok[idx], word_len[idx],
+                               history[idx], n_changed[idx], sal[idx],
+                               per[idx],
+                               jax.tree.map(lambda a: a[idx], aux),
+                               need_grad)
+                    i1, live_c, (wt_c, wl_c, hi_c, nch_c, sal_cc,
+                                 per_cc, aux_cc,
+                                 need_grad) = jax.lax.while_loop(
+                        wc_cond, wc_body, (i1, live[idx], carry_c))
+                    word_tok = word_tok.at[idx].set(wt_c)
+                    word_len = word_len.at[idx].set(wl_c)
+                    history = history.at[idx].set(hi_c)
+                    n_changed = n_changed.at[idx].set(nch_c)
+                    sal = sal.at[idx].set(sal_cc)
+                    per = per.at[idx].set(per_cc)
+                    aux = jax.tree.map(
+                        lambda a, c: a.at[idx].set(c), aux, aux_cc)
+                    live = jnp.zeros_like(live).at[idx].set(live_c)
+
             ids, masks = build_sequences(word_tok, word_len, T,
                                          cls_id, sep_id, pad_id)
             return ids, masks, n_changed

@@ -236,6 +236,48 @@ def test_fused_greedy_matches_host(moco_setup, tiny_tok, tiny_synonyms):
     # something actually changed somewhere (attack effectiveness)
     assert out_f["num_changes"] > 0
 
+def test_fused_greedy_compaction_exact(moco_setup, tiny_tok,
+                                       tiny_synonyms):
+    """Live-set compaction (greedy_compact_frac) must be a pure perf
+    transform: identical final token ids and change counts vs the
+    uncompacted fused loop.  The batch mixes early-converging sentences
+    (no attackable words / tiny budgets) with a long all-content one so
+    the live count decays and phase 2 actually runs (Bc=1 here)."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+
+    cfg, model, params, state = _moco_model_and_batch(
+        moco_setup, tiny_tok.vocab_size)
+    sentences = ["big red car on road near park",  # stays live longest
+                 "the a on in",                    # no targets: dead at 0
+                 "dog runs", "cat sits"]           # 1-commit budgets
+    ids, masks = tiny_tok.batch_encode(sentences, cfg.max_text_len)
+    fb = make_fake_batch(cfg, batch=len(sentences))
+    batch = {
+        "image": fb["image"],
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+    }
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    infer_k = model.infer_k(params, dev, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+    extras = (k, state["proj_queue"], cfg.temperature)
+
+    outs = {}
+    for frac in (0.0, 0.25):
+        c = cfg.replace(greedy_compact_frac=frac)
+        att = FusedGreedyAttack(
+            GreedyAttackMoco(c, model, tiny_tok, tiny_synonyms))
+        outs[frac] = att.adv_attack_samples(params, batch, extras)
+    np.testing.assert_array_equal(outs[0.25]["txt_input_ids"],
+                                  outs[0.0]["txt_input_ids"])
+    np.testing.assert_array_equal(outs[0.25]["text_masks"],
+                                  outs[0.0]["text_masks"])
+    assert (outs[0.25]["changes_verification"]
+            == outs[0.0]["changes_verification"])
+    assert outs[0.25]["num_changes"] > 0
+
+
 def test_fused_greedy_matches_host_nlvr2_and_bt(moco_setup, tiny_tok,
                                                 tiny_synonyms):
     """Fused-vs-host parity for the two structurally different
