@@ -173,6 +173,7 @@ def main():
         adv_lr_img=0.05, adv_max_norm_img=0.005,
         use_pallas_attention=on_tpu and PALLAS,
         attention_impl=os.environ.get("BENCH_ATTN", ""),
+        mlp_impl=os.environ.get("BENCH_MLP", ""),
         image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
         fuse_moco_views=os.environ.get("BENCH_FUSE", "0") == "1",
         compute_dtype="bfloat16" if on_tpu else "float32",

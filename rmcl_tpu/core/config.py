@@ -173,6 +173,13 @@ class RMCLConfig:
     # | "pallas" (attention-only rmcl kernel) | "flash" (jax library
     # TPU kernel)
     attention_impl: str = ""
+    # MLP half-block implementation: "" derives fused on a single TPU
+    # chip like attention_impl; "xla" forces the plain path; "fused"
+    # runs LN2+fc1+gelu+fc2 as one Pallas kernel (ops/pallas_block.py
+    # fused_mlp_half) on DETERMINISTIC forwards only (PGD, key encoder,
+    # candidate scoring, eval — paths where dropout is a no-op; train
+    # dropout between fc1/fc2 keeps the unfused path for RNG parity).
+    mlp_impl: str = ""
     # greedy text attack scheduling: "fused" runs the whole max_loops
     # substitution loop as ONE on-device XLA program (2 dispatches per
     # batch instead of 2*max_loops; attacks/greedy_fused.py); "host"

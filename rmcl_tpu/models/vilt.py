@@ -52,6 +52,26 @@ def _derive_attn_impl(cfg: RMCLConfig) -> str:
     return ""
 
 
+def _derive_mlp_impl(cfg: RMCLConfig) -> str:
+    """Same derivation as _derive_attn_impl: the fused LN2+fc1+gelu+fc2
+    Pallas kernel (ops/pallas_block.py:fused_mlp_half) on a single TPU
+    chip.  It only engages on deterministic forwards (block_forward
+    gates on the dropout no-op), so train-step views keep the XLA MLP
+    while PGD / key-encoder / candidate-scoring forwards take the
+    kernel."""
+    if cfg.mlp_impl:
+        return cfg.mlp_impl
+    import math
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if (on_tpu and cfg.block_layout == "3d"
+            and math.prod(cfg.mesh_shape) == 1):
+        return "fused"
+    return ""
+
+
 def make_spec(cfg: RMCLConfig) -> ViTSpec:
     return ViTSpec(
         hidden_size=cfg.hidden_size,
@@ -67,6 +87,7 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         attn_impl=_derive_attn_impl(cfg),
         dropout_impl=cfg.dropout_impl,
         block_layout=cfg.block_layout,
+        mlp_impl=_derive_mlp_impl(cfg),
     )
 
 

@@ -57,6 +57,9 @@ class ViTSpec(NamedTuple):
                                 #   half-block, ops/pallas_block.py)
     dropout_impl: str = "fp32"  # "fp32" | "pack8" | "rbg" (layers.dropout)
     block_layout: str = "3d"    # "3d" | "2d" (flat B*S scan carry)
+    mlp_impl: str = ""          # "" | "xla" | "fused" (LN2+fc1+gelu+fc2
+                                #   Pallas kernel, deterministic paths
+                                #   only — ops/pallas_block.py)
 
     @property
     def patch_dim(self) -> int:
@@ -400,9 +403,15 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
     if spec.attn_impl == "fused":
         # one Pallas kernel for LN1 + qkv + attention + proj
         # (ops/pallas_block.py); dropout + residual stay outside so the
-        # RNG stream and remat structure match the unfused path
-        from rmcl_tpu.ops.pallas_block import fused_attn_half
-        attn = fused_attn_half(
+        # RNG stream and remat structure match the unfused path.
+        # Deterministic callers (PGD, key encoder, candidate scoring,
+        # eval) take the _det variant whose backward skips the
+        # weight-grad intermediate HBM writes (they only ever
+        # differentiate to the input).
+        from rmcl_tpu.ops.pallas_block import (fused_attn_half,
+                                               fused_attn_half_det)
+        attn_fn = fused_attn_half_det if deterministic else fused_attn_half
+        attn = attn_fn(
             x, mask, bp["norm1"]["weight"], bp["norm1"]["bias"],
             bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
             bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
@@ -421,6 +430,18 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
     attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic,
                      impl=spec.dropout_impl)
     x = x + attn
+
+    if spec.mlp_impl == "fused" and (deterministic or spec.drop_rate == 0.0):
+        # one Pallas kernel for LN2 + fc1 + gelu + fc2; only legal when
+        # the in-MLP dropout (rngs[1]) is a no-op, i.e. deterministic
+        # forwards — PGD, key encoder, candidate scoring, eval
+        from rmcl_tpu.ops.pallas_block import fused_mlp_half
+        y = fused_mlp_half(
+            x, bp["norm2"]["weight"], bp["norm2"]["bias"],
+            bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
+            bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
+            VIT_LN_EPS)
+        return x + y
 
     y = L.layer_norm(bp["norm2"], x, eps=VIT_LN_EPS)
     y = L.gelu(L.linear(bp["mlp"]["fc1"], y))

@@ -180,18 +180,12 @@ def _xla_twin(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
 
 
 # ---------------------------------------------------------- bwd kernel
-def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
-                           wproj_ref, bqkv_ref, g_ref,
-                           dx_ref, dqkv_ref, y_ref, attn_ref,
-                           dlnw_ref, dlnb_ref,
-                           *, H: int, scale: float, eps: float):
-    """Per-sample backward: recomputes y/qkv/p (remat-style — the S²
-    probabilities can never be saved to HBM), then the data gradients.
-    Weight gradients need cross-sample reductions, so the kernel also
-    emits the intermediates they contract over (y, attn_out, dqkv) and
-    XLA does the three small (B·S)-contraction matmuls outside."""
-    x = x_ref[0]                        # (S, C)
-    g = g_ref[0]
+def _attn_bwd_math(x, bias, lnw, lnb, wqkv, wproj, bqkv, g,
+                   H: int, scale: float, eps: float):
+    """Shared per-sample backward math (traced inside both bwd kernels):
+    recomputes y/qkv/p remat-style, then the data gradients.  Returns
+    everything either kernel variant may need; Mosaic dead-code
+    -eliminates the unwritten results in the dx-only kernel."""
     S, C = x.shape
     D = C // H
 
@@ -202,20 +196,19 @@ def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
     rstd = jax.lax.rsqrt(var + eps)
     xhat = xc * rstd
-    lnw = lnw_ref[:]
-    y = xhat * lnw + lnb_ref[:]
+    y = xhat * lnw + lnb
     y = y.astype(x.dtype)
 
-    qkv = jnp.dot(y, wqkv_ref[:],
+    qkv = jnp.dot(y, wqkv,
                   preferred_element_type=jnp.float32).astype(x.dtype)
-    qkv = qkv + bqkv_ref[:].astype(x.dtype)
+    qkv = qkv + bqkv.astype(x.dtype)
     qkv_t = qkv.T.reshape(3, H, D, S)
     q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
 
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale
-    scores = scores + bias_ref[0][None, :, :]
+    scores = scores + bias[None, :, :]
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)       # (H, S, S) fp32
@@ -226,12 +219,10 @@ def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
         v, pb, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
         preferred_element_type=jnp.float32).astype(x.dtype)
     attn = att.reshape(C, S).T
-    attn_ref[0] = attn
-    y_ref[0] = y
 
     # ---- backward
     # dattn = g @ Wproj^T; transpose-free: (C,S) layout via (Wp @ g^T)
-    dattn_t = jnp.dot(wproj_ref[:], g.T,
+    dattn_t = jnp.dot(wproj, g.T,
                       preferred_element_type=jnp.float32
                       ).astype(x.dtype)              # (C, S)
     datt = dattn_t.reshape(H, D, S)
@@ -259,10 +250,9 @@ def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     # (3, H, D, S) -> sublane-merge (3C, S) -> (S, 3C)
     dqkv = jnp.concatenate(
         [dq[None], dk[None], dv[None]], axis=0).reshape(3 * C, S).T
-    dqkv_ref[0] = dqkv
 
     # dy = dqkv @ Wqkv^T, transpose-free: (Wqkv @ dqkv^T) = (C, S)
-    dy_t = jnp.dot(wqkv_ref[:], dqkv.T,
+    dy_t = jnp.dot(wqkv, dqkv.T,
                    preferred_element_type=jnp.float32)        # (C, S)
     dy = dy_t.T                                               # (S, C) fp32
 
@@ -271,11 +261,42 @@ def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     mean_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
     mean_dyh_x = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
     dx = rstd * (dyh - mean_dyh - xhat * mean_dyh_x)
-    dx_ref[0] = dx.astype(dx_ref.dtype)
 
     # per-sample LN weight-grad partials (summed over B by XLA)
-    dlnw_ref[0] = jnp.sum(dy * xhat, axis=0, keepdims=True)
-    dlnb_ref[0] = jnp.sum(dy, axis=0, keepdims=True)
+    dlnw = jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dlnb = jnp.sum(dy, axis=0, keepdims=True)
+    return dx, dqkv, y, attn, dlnw, dlnb
+
+
+def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
+                           wproj_ref, bqkv_ref, g_ref,
+                           dx_ref, dqkv_ref, y_ref, attn_ref,
+                           dlnw_ref, dlnb_ref,
+                           *, H: int, scale: float, eps: float):
+    """Full backward: dx + the intermediates weight grads contract over
+    (y, attn_out, dqkv; the three (B·S)-contraction matmuls run in XLA
+    outside).  Used by the training-path fused_attn_half."""
+    dx, dqkv, y, attn, dlnw, dlnb = _attn_bwd_math(
+        x_ref[0], bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
+        wproj_ref[:], bqkv_ref[:], g_ref[0], H, scale, eps)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+    dqkv_ref[0] = dqkv
+    y_ref[0] = y
+    attn_ref[0] = attn
+    dlnw_ref[0] = dlnw
+    dlnb_ref[0] = dlnb
+
+
+def _half_block_dx_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
+                          wproj_ref, bqkv_ref, g_ref, dx_ref,
+                          *, H: int, scale: float, eps: float):
+    """dx-only backward: skips the (B, S, 5C) HBM writes of the
+    weight-grad intermediates — for deterministic callers that only
+    differentiate to the input (PGD, greedy grad pass)."""
+    dx, *_ = _attn_bwd_math(
+        x_ref[0], bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
+        wproj_ref[:], bqkv_ref[:], g_ref[0], H, scale, eps)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
 def _bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
@@ -353,6 +374,268 @@ def _bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
     return (dx[:, :S, :], dlnw, dlnb, dwqkv, dbqkv, dwproj, dbproj)
 
 
+def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
+                 H: int, scale: float, eps: float):
+    B, S, C = x.shape
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, S_pad - S), (0, 0)])
+        mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+    dt = x.dtype
+    wqkv_c, wproj_c = wqkv.astype(dt), wproj.astype(dt)
+
+    const2 = lambda b: (0, 0)  # noqa: E731
+    row = lambda b: (b, 0, 0)  # noqa: E731
+
+    dx = pl.pallas_call(
+        functools.partial(_half_block_dx_kernel, H=H, scale=scale,
+                          eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad, C), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * S_pad * C * 4 * C,
+            bytes_accessed=3 * B * S_pad * C * x.dtype.itemsize,
+            transcendentals=B * 12 * S_pad * S_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, bias, ln_w, ln_b, wqkv_c, wproj_c, bqkv, g)
+    return dx[:, :S, :]
+
+
+# ----------------------------------------------------- MLP half kernel
+def _erf32(x):
+    """erf for fp32 in-kernel use — Mosaic lowers neither erf nor erfc.
+    Abramowitz & Stegun 7.1.26 rational approximation: max abs error
+    1.5e-7, ~50x below bf16 rounding at gelu scales; only needs exp."""
+    sign = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + 0.3275911 * ax)
+    poly = t * (0.254829592 + t * (-0.284496736 + t * (
+        1.421413741 + t * (-1.453152027 + t * 1.061405429))))
+    return sign * (1.0 - poly * jnp.exp(-ax * ax))
+def _mlp_half_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
+                     b2_ref, o_ref, *, eps: float):
+    """LN2 + fc1 + exact-erf gelu + fc2 for one sample, weights
+    VMEM-resident across the B grid.  The (S, 4C) intermediate never
+    touches HBM (the XLA path writes+reads it between the two matmuls,
+    ~25 MB/layer at b16 S=256)."""
+    x = x_ref[0]                        # (S, C)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = ((xc * jax.lax.rsqrt(var + eps)) * lnw_ref[:] + lnb_ref[:]
+         ).astype(x.dtype)
+    h = jnp.dot(y, w1_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1_ref[:].astype(x.dtype)
+    # exact-erf gelu (models/layers.py:gelu) in fp32 via _erf32
+    h32 = h.astype(jnp.float32)
+    a = (0.5 * h32 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
+         ).astype(x.dtype)
+    out = jnp.dot(a, w2_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = out + b2_ref[:].astype(x.dtype)
+
+
+def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
+    B, S, C = x.shape
+    C4 = w1.shape[1]
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        # padded rows are junk (LN of zeros) and sliced off below; no
+        # row mixes with another, so the real rows are unaffected
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+    dt = x.dtype
+    w1_c, w2_c = w1.astype(dt), w2.astype(dt)
+    const2 = lambda b: (0, 0)  # noqa: E731  (weights: VMEM-resident)
+
+    out = pl.pallas_call(
+        functools.partial(_mlp_half_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S_pad * C * C4,
+            bytes_accessed=(2 * B * S_pad * C + 2 * C * C4)
+            * x.dtype.itemsize,
+            transcendentals=B * S_pad * C4,
+        ),
+        # weights (~9.4 MB bf16 at ViLT-B) + the (S, 4C) intermediates
+        # exceed the 16 MB default scoped limit; within v5e's VMEM
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, ln_w, ln_b, w1_c, b1, w2_c, b2)
+    return out[:, :S, :]
+
+
+def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
+                   g_ref, dx_ref, *, eps: float):
+    """Per-sample dx-only backward: recomputes y/h in VMEM (remat-style)
+    then walks the chain back — the (S, 4C) intermediates never touch
+    HBM in either direction.  Weight grads are NOT computed here; the
+    custom_vjp derives them from a separate XLA twin that XLA dead-code
+    -eliminates whenever only input grads are requested (PGD
+    attacks/pgd.py and the greedy commit-loop grad pass — the only
+    production paths that differentiate a deterministic forward)."""
+    x = x_ref[0]                        # (S, C)
+    g = g_ref[0]
+    # ---- recompute forward to h (identical math to _mlp_half_kernel)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    lnw = lnw_ref[:]
+    y = (xhat * lnw + lnb_ref[:]).astype(x.dtype)
+    h = jnp.dot(y, w1_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1_ref[:].astype(x.dtype)
+
+    # ---- backward
+    # da = g @ W2^T, transpose-free: (W2 @ g^T) = (4C, S)
+    da_t = jnp.dot(w2_ref[:], g.T,
+                   preferred_element_type=jnp.float32)        # (4C, S)
+    # exact-erf gelu'(h) = Phi(h) + h * phi(h), fp32 (_erf32: Mosaic
+    # has no erf primitive)
+    h32 = h.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
+    pdf = jnp.exp(-0.5 * h32 * h32) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    dh = (da_t.T * (cdf + h32 * pdf)).astype(x.dtype)         # (S, 4C)
+    # dy = dh @ W1^T, transpose-free: (W1 @ dh^T) = (C, S)
+    dy = jnp.dot(w1_ref[:], dh.T,
+                 preferred_element_type=jnp.float32).T        # (S, C) fp32
+    # LN backward (fp32)
+    dyh = dy * lnw
+    mean_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
+    mean_dyh_x = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dyh - mean_dyh - xhat * mean_dyh_x)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float):
+    B, S, C = x.shape
+    C4 = w1.shape[1]
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, S_pad - S), (0, 0)])
+    dt = x.dtype
+    w1_c, w2_c = w1.astype(dt), w2.astype(dt)
+    const2 = lambda b: (0, 0)  # noqa: E731
+    row = lambda b: (b, 0, 0)  # noqa: E731
+
+    dx = pl.pallas_call(
+        functools.partial(_mlp_dx_kernel, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad, C), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * B * S_pad * C * C4,
+            bytes_accessed=(3 * B * S_pad * C + 2 * C * C4)
+            * x.dtype.itemsize,
+            transcendentals=2 * B * S_pad * C4,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(x, ln_w, ln_b, w1_c, w2_c, b1, g)
+    return dx[:, :S, :]
+
+
+def _mlp_twin(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
+    """Same math in XLA ops (== the block_forward MLP half with
+    deterministic dropout no-ops) — backward pass + parity reference."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = ((xc * jax.lax.rsqrt(var + eps)) * ln_w + ln_b).astype(x.dtype)
+    h = (jnp.dot(y, w1.astype(x.dtype),
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+         + b1.astype(x.dtype))
+    a = jax.nn.gelu(h, approximate=False)
+    return (jnp.dot(a, w2.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+            + b2.astype(x.dtype))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
+def fused_mlp_half(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
+    """fc2(gelu(fc1(LN2(x)))) — the deterministic MLP half of a block
+    (reference vision_transformer.py:335-376; dropout is a no-op in
+    every deterministic forward: PGD, key encoder, candidate scoring,
+    eval).  Backward: dx via a fused Pallas kernel (the (S, 4C)
+    intermediates never touch HBM); weight grads via an XLA twin that
+    gets dead-code-eliminated when only input grads are requested —
+    which is every production caller that differentiates this path
+    (PGD, greedy grad pass).  Set RMCL_PALLAS_BLOCK_XLA_BWD=1 to fall
+    back to differentiating the XLA twin entirely."""
+    return _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps)
+
+
+def _mlp_vjp_fwd(x, ln_w, ln_b, w1, b1, w2, b2, eps):
+    out = _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps)
+    return out, (x, ln_w, ln_b, w1, b1, w2, b2)
+
+
+def _mlp_vjp_bwd(eps, res, g):
+    x, ln_w, ln_b, w1, b1, w2, b2 = res
+    _, pullback = jax.vjp(
+        lambda x_, lw, lb, a1, c1, a2, c2: _mlp_twin(
+            x_, lw, lb, a1, c1, a2, c2, eps),
+        x, ln_w, ln_b, w1, b1, w2, b2)
+    dx_t, dlw, dlb, dw1, db1, dw2, db2 = pullback(g)
+    if os.environ.get("RMCL_PALLAS_BLOCK_XLA_BWD", "0") == "1":
+        dx = dx_t
+    else:
+        dx = _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps)
+    return dx, dlw, dlb, dw1, db1, dw2, db2
+
+
+fused_mlp_half.defvjp(_mlp_vjp_fwd, _mlp_vjp_bwd)
+
+
 # ------------------------------------------------------------ custom_vjp
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_attn_half(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
@@ -390,3 +673,32 @@ def _vjp_bwd(H, scale, eps, res, g):
 
 
 fused_attn_half.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+def fused_attn_half_det(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                        H: int, scale: float, eps: float):
+    """fused_attn_half for DETERMINISTIC callers (PGD, key encoder,
+    candidate scoring, eval): same forward kernel, but the backward
+    computes dx with a dx-only Pallas kernel (no (B, S, 5C) weight-grad
+    intermediate writes) and derives weight grads from an XLA twin that
+    is dead-code-eliminated whenever only input grads are requested —
+    which is every production deterministic caller that differentiates
+    (PGD attacks/pgd.py, greedy commit-loop grad pass)."""
+    return _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                     H, scale, eps)
+
+
+def _det_vjp_bwd(H, scale, eps, res, g):
+    x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj = res
+    _, pullback = jax.vjp(
+        lambda lw, lb, wq, bq, wp, bp: _xla_twin(
+            x, mask, lw, lb, wq, bq, wp, bp, H, scale, eps),
+        ln_w, ln_b, wqkv, bqkv, wproj, bproj)
+    dlw, dlb, dwq, dbq, dwp, dbp = pullback(g)
+    dx = _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
+                      H, scale, eps)
+    return dx, None, dlw, dlb, dwq, dbq, dwp, dbp
+
+
+fused_attn_half_det.defvjp(_vjp_fwd, _det_vjp_bwd)

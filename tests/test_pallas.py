@@ -144,6 +144,31 @@ def test_fused_block_grads_match_xla(block_inputs):
                                    atol=5e-4, rtol=1e-3)
 
 
+def test_fused_block_det_grads_match_xla(block_inputs):
+    """fused_attn_half_det (dx-only Pallas bwd + DCE-able XLA weight
+    grads) == direct autodiff of the twin, for x and every weight."""
+    from rmcl_tpu.ops.pallas_block import _xla_twin, fused_attn_half_det
+    x, mask, lw, lb, wq, bq, wp, bp, H = block_inputs
+    C = x.shape[-1]
+    scale = (C // H) ** -0.5
+
+    def loss_fused(x, lw, lb, wq, bq, wp, bp):
+        return jnp.sum(fused_attn_half_det(x, mask, lw, lb, wq, bq, wp,
+                                           bp, H, scale, 1e-12) ** 2)
+
+    def loss_ref(x, lw, lb, wq, bq, wp, bp):
+        return jnp.sum(_xla_twin(x, mask, lw, lb, wq, bq, wp, bp,
+                                 H, scale, 1e-12) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(
+        x, lw, lb, wq, bq, wp, bp)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        x, lw, lb, wq, bq, wp, bp)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
 def test_fused_block_in_model_forward():
     """attention_impl='fused' through the full block_forward matches the
     default path (same params, same rng)."""
@@ -160,3 +185,77 @@ def test_fused_block_in_model_forward():
     out = block_forward(bp, x, mask, spec=spec_f, deterministic=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=3e-5)
+
+
+# ------------------------------------------------------ fused MLP half
+@pytest.fixture(scope="module")
+def mlp_inputs():
+    B, S, C = 2, 37, 32
+    r = np.random.RandomState(3)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    ln_w = jnp.asarray(1.0 + 0.1 * r.randn(C), jnp.float32)
+    ln_b = jnp.asarray(0.1 * r.randn(C), jnp.float32)
+    w1 = jnp.asarray(r.randn(C, 4 * C) * 0.05, jnp.float32)
+    b1 = jnp.asarray(r.randn(4 * C) * 0.05, jnp.float32)
+    w2 = jnp.asarray(r.randn(4 * C, C) * 0.05, jnp.float32)
+    b2 = jnp.asarray(r.randn(C) * 0.05, jnp.float32)
+    return x, ln_w, ln_b, w1, b1, w2, b2
+
+
+def test_fused_mlp_matches_xla(mlp_inputs):
+    """Fused LN2+fc1+gelu+fc2 kernel == the XLA twin (which is itself
+    the block_forward MLP-half math with dropout a no-op)."""
+    from rmcl_tpu.ops.pallas_block import _mlp_twin, fused_mlp_half
+    x, lw, lb, w1, b1, w2, b2 = mlp_inputs
+    ours = fused_mlp_half(x, lw, lb, w1, b1, w2, b2, 1e-12)
+    ref = _mlp_twin(x, lw, lb, w1, b1, w2, b2, 1e-12)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               atol=3e-5)
+
+
+def test_fused_mlp_grads_match_xla(mlp_inputs):
+    """custom_vjp backward (XLA-twin vjp) == direct autodiff of the
+    twin, for x and every weight."""
+    from rmcl_tpu.ops.pallas_block import _mlp_twin, fused_mlp_half
+    x, lw, lb, w1, b1, w2, b2 = mlp_inputs
+
+    def loss_fused(x, lw, lb, w1, b1, w2, b2):
+        return jnp.sum(fused_mlp_half(x, lw, lb, w1, b1, w2, b2,
+                                      1e-12) ** 2)
+
+    def loss_ref(x, lw, lb, w1, b1, w2, b2):
+        return jnp.sum(_mlp_twin(x, lw, lb, w1, b1, w2, b2, 1e-12) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=tuple(range(7)))(
+        x, lw, lb, w1, b1, w2, b2)
+    g2 = jax.grad(loss_ref, argnums=tuple(range(7)))(
+        x, lw, lb, w1, b1, w2, b2)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-4, rtol=1e-3)
+
+
+def test_fused_mlp_in_model_forward():
+    """mlp_impl='fused' through block_forward matches the default path
+    on a deterministic forward, and is bypassed when training dropout
+    is active (gating keeps the RNG stream identical)."""
+    from rmcl_tpu.models.vit import ViTSpec, block_forward, init_block
+    C, H, B, S = 32, 4, 2, 23
+    spec = ViTSpec(hidden_size=C, num_heads=H, drop_rate=0.1,
+                   use_pallas=False, attn_impl="")
+    spec_f = spec._replace(mlp_impl="fused")
+    bp = init_block(jax.random.PRNGKey(0), spec)
+    r = np.random.RandomState(4)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.2).astype(np.int32))
+    ref = block_forward(bp, x, mask, spec=spec, deterministic=True)
+    out = block_forward(bp, x, mask, spec=spec_f, deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=3e-5)
+    # training forward: fused path must be bypassed -> bit-identical
+    rng = jax.random.PRNGKey(7)
+    ref_t = block_forward(bp, x, mask, spec=spec, rng=rng,
+                          deterministic=False)
+    out_t = block_forward(bp, x, mask, spec=spec_f, rng=rng,
+                          deterministic=False)
+    np.testing.assert_array_equal(np.asarray(out_t), np.asarray(ref_t))
