@@ -31,6 +31,17 @@ import numpy as np
 
 import os
 
+# must be set BEFORE libtpu initialises (first jax TPU touch): the
+# fused_train MLP bwd kernel accumulates dW1+dW2 (2x9.4 MB fp32) in
+# VMEM across the batch grid, which exceeds XLA's default 16 MB
+# scoped-vmem limit for the surrounding fusion.  The axon terminal
+# forwards client LIBTPU_INIT_ARGS flags it has no opinion on.
+# models/vilt.py:_derive_mlp_impl only selects "fused_train" when this
+# flag is present, so configs stay compilable without it.
+from rmcl_tpu.core.tpu_env import ensure_scoped_vmem_flag
+
+ensure_scoped_vmem_flag()
+
 REF_PAIRS_PER_SEC_PER_GPU = 35.0
 
 # batch sweep on v5e with the round-2 defaults (rbg dropout + bf16-S²

@@ -60,14 +60,21 @@ def _fast_visual(model, frozen, batch, imgkey: str = "image",
     (B, L, P*P*3) shape, and to_full(delta_sel) expands δ back to the
     batch's image layout (patch rows or HWC canvas)."""
     cfg = model.cfg
-    # default: keep the training remat setting (the step is HBM-bound,
-    # so remat's recompute is cheaper than writing one forward's
-    # activations out — measured b16 pgd-iter: 19.9 ms with remat vs
-    # 22.3 ms without, fp32-S² era).  cfg.pgd_remat overrides for the
-    # attack only (re-measure after attention/dropout dtype changes).
+    # remat default inside the PGD loop: with BOTH fused half-block
+    # kernels engaged (attn_impl+mlp_impl "fused"), each block's
+    # custom_vjp residuals are just (x, weights) — the S² and (S, 4C)
+    # intermediates never materialise, so the remat replay forward is
+    # pure waste: derive remat OFF (measured b16 step 181.2 -> 173.0
+    # ms, b64 no OOM / 93.1 pairs/s).  On the XLA block path remat ON
+    # stays the winner (HBM-bound: recompute beats activation
+    # write-back, 19.9 vs 22.3 ms/iter).  cfg.pgd_remat overrides.
     spec = model.spec
-    if cfg.pgd_remat is not None and cfg.pgd_remat != spec.remat:
-        spec = spec._replace(remat=cfg.pgd_remat)
+    pgd_remat = cfg.pgd_remat
+    if (pgd_remat is None and spec.attn_impl == "fused"
+            and spec.mlp_impl == "fused"):
+        pgd_remat = False
+    if pgd_remat is not None and pgd_remat != spec.remat:
+        spec = spec._replace(remat=pgd_remat)
     img = batch[imgkey]
     hwc = img.ndim == 4
     tr = frozen["transformer"]

@@ -14,7 +14,11 @@ import ast
 import sys
 from typing import Any, Dict, List, Tuple
 
-from rmcl_tpu.core.config import build_config, named_configs
+from rmcl_tpu.core.tpu_env import ensure_scoped_vmem_flag
+
+ensure_scoped_vmem_flag()  # before first jax TPU touch (fused_train MLP)
+
+from rmcl_tpu.core.config import build_config, named_configs  # noqa: E402
 
 
 def parse_with(argv: List[str]) -> Tuple[List[str], Dict[str, Any]]:

@@ -173,12 +173,15 @@ class RMCLConfig:
     # | "pallas" (attention-only rmcl kernel) | "flash" (jax library
     # TPU kernel)
     attention_impl: str = ""
-    # MLP half-block implementation: "" derives fused on a single TPU
-    # chip like attention_impl; "xla" forces the plain path; "fused"
-    # runs LN2+fc1+gelu+fc2 as one Pallas kernel (ops/pallas_block.py
-    # fused_mlp_half) on DETERMINISTIC forwards only (PGD, key encoder,
-    # candidate scoring, eval — paths where dropout is a no-op; train
-    # dropout between fc1/fc2 keeps the unfused path for RNG parity).
+    # MLP half-block implementation: "" derives the measured-best on a
+    # single TPU chip like attention_impl; "xla" forces the plain path;
+    # "fused" runs LN2+fc1+gelu+fc2 as one Pallas kernel
+    # (ops/pallas_block.py:fused_mlp_half) on DETERMINISTIC forwards
+    # only (PGD, key encoder, candidate scoring, eval — paths where
+    # dropout is a no-op); "fused_train" additionally covers the
+    # training views with IN-KERNEL dropout (Mosaic PRNG, mask stream
+    # differs from the XLA impls — PARITY #19; needs the raised
+    # scoped-vmem limit, core/tpu_env.py).
     mlp_impl: str = ""
     # greedy text attack scheduling: "fused" runs the whole max_loops
     # substitution loop as ONE on-device XLA program (2 dispatches per

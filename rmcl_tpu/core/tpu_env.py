@@ -1,0 +1,33 @@
+"""TPU process-environment knobs that must be set before libtpu init.
+
+XLA's TPU backend reads some compiler limits from LIBTPU_INIT_ARGS at
+plugin initialisation; they cannot be passed through XLA_FLAGS (the
+client-side parser rejects TPU-backend flags) or per-jit options.  Entry
+points (bench.py, cli/run.py) call ensure_scoped_vmem_flag() before the
+first jax TPU touch; library code never mutates the environment.
+"""
+
+from __future__ import annotations
+
+import os
+
+_SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
+
+
+def ensure_scoped_vmem_flag() -> None:
+    """Raise XLA's scoped-vmem limit to 32 MiB (default 16 MiB).
+
+    Needed by the fused_train MLP backward kernel, whose dW1+dW2 fp32
+    VMEM accumulators (2 x 9.4 MB at ViLT-B) are staged by the
+    surrounding XLA fusion.  No-op if the user already set the flag.
+    Harmless on CPU (libtpu never loads)."""
+    args = os.environ.get("LIBTPU_INIT_ARGS", "")
+    if "xla_tpu_scoped_vmem_limit_kib" not in args:
+        os.environ["LIBTPU_INIT_ARGS"] = (args + " " + _SCOPED_VMEM_FLAG).strip()
+
+
+def scoped_vmem_flag_active() -> bool:
+    """True if the raised scoped-vmem limit will be (or was) in effect
+    for this process — gate for deriving mlp_impl="fused_train"."""
+    return ("xla_tpu_scoped_vmem_limit_kib"
+            in os.environ.get("LIBTPU_INIT_ARGS", ""))

@@ -54,11 +54,13 @@ def _derive_attn_impl(cfg: RMCLConfig) -> str:
 
 def _derive_mlp_impl(cfg: RMCLConfig) -> str:
     """Same derivation as _derive_attn_impl: the fused LN2+fc1+gelu+fc2
-    Pallas kernel (ops/pallas_block.py:fused_mlp_half) on a single TPU
-    chip.  It only engages on deterministic forwards (block_forward
-    gates on the dropout no-op), so train-step views keep the XLA MLP
-    while PGD / key-encoder / candidate-scoring forwards take the
-    kernel."""
+    Pallas kernel (ops/pallas_block.py) on a single TPU chip.
+    "fused_train" (in-kernel-dropout variant that ALSO covers the
+    training views, +1.2% step) needs the raised scoped-vmem limit for
+    its VMEM weight-grad accumulators, so it is only derived when the
+    entry point installed the LIBTPU flag (core/tpu_env.py); otherwise
+    "fused" covers the deterministic forwards (PGD, key encoder,
+    candidate scoring, eval) and the views keep the XLA MLP."""
     if cfg.mlp_impl:
         return cfg.mlp_impl
     import math
@@ -68,7 +70,8 @@ def _derive_mlp_impl(cfg: RMCLConfig) -> str:
         on_tpu = False
     if (on_tpu and cfg.block_layout == "3d"
             and math.prod(cfg.mesh_shape) == 1):
-        return "fused"
+        from rmcl_tpu.core.tpu_env import scoped_vmem_flag_active
+        return "fused_train" if scoped_vmem_flag_active() else "fused"
     return ""
 
 

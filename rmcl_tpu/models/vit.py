@@ -431,9 +431,10 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
                      impl=spec.dropout_impl)
     x = x + attn
 
-    if spec.mlp_impl == "fused" and (deterministic or spec.drop_rate == 0.0):
-        # one Pallas kernel for LN2 + fc1 + gelu + fc2; only legal when
-        # the in-MLP dropout (rngs[1]) is a no-op, i.e. deterministic
+    if (spec.mlp_impl in ("fused", "fused_train")
+            and (deterministic or spec.drop_rate == 0.0)):
+        # one Pallas kernel for LN2 + fc1 + gelu + fc2; legal when the
+        # in-MLP dropout (rngs[1]) is a no-op, i.e. deterministic
         # forwards — PGD, key encoder, candidate scoring, eval
         from rmcl_tpu.ops.pallas_block import fused_mlp_half
         y = fused_mlp_half(
@@ -441,6 +442,24 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
             bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
             bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
             VIT_LN_EPS)
+        return x + y
+
+    if spec.mlp_impl == "fused_train" and rngs[1] is not None:
+        # training MLP half as one Pallas kernel with IN-KERNEL
+        # dropout (Mosaic PRNG seeded per sample from rngs[1]; the
+        # bwd kernel reseeds to regenerate the identical mask).  The
+        # mask stream differs from the XLA dropout impls — PARITY #19.
+        # The outer dropouts (rngs[0], rngs[2]) stay outside as usual.
+        from rmcl_tpu.ops.pallas_block import fused_mlp_half_train
+        seeds = jax.lax.bitcast_convert_type(
+            jax.random.bits(rngs[1], (B,), jnp.uint32), jnp.int32)
+        y = fused_mlp_half_train(
+            x, seeds, bp["norm2"]["weight"], bp["norm2"]["bias"],
+            bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
+            bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
+            spec.drop_rate, VIT_LN_EPS)
+        y = L.dropout(y, spec.drop_rate, rngs[2], deterministic,
+                      impl=spec.dropout_impl)
         return x + y
 
     y = L.layer_norm(bp["norm2"], x, eps=VIT_LN_EPS)

@@ -583,6 +583,292 @@ def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float):
     return dx[:, :S, :]
 
 
+# ------------------------------------------------ MLP train kernel
+def _keep_threshold(p: float) -> int:
+    """uint32 threshold T such that P(bits >= T) = 1 - p."""
+    return min(int(round(p * 2.0 ** 32)), 2 ** 32 - 1)
+
+
+def _mlp_train_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+                      w2_ref, b2_ref, o_ref, *, p: float, eps: float,
+                      mask_ref=None):
+    """LN2 + fc1 + gelu + in-kernel inverted dropout + fc2 for one
+    sample.  The dropout mask comes from the Mosaic per-core PRNG
+    seeded with seed_ref[0] (deterministic per seed — the backward
+    kernel reseeds and regenerates the identical mask), so the (S, 4C)
+    intermediates AND the mask never touch HBM.  RNG stream therefore
+    differs from the XLA path's threefry/rbg (PARITY #15 precedent:
+    dropout impls may own their stream)."""
+    x = x_ref[0]                        # (S, C)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = ((xc * jax.lax.rsqrt(var + eps)) * lnw_ref[:] + lnb_ref[:]
+         ).astype(x.dtype)
+    h = jnp.dot(y, w1_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1_ref[:].astype(x.dtype)
+    h32 = h.astype(jnp.float32)
+    a = 0.5 * h32 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
+
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(h.shape), jnp.uint32)
+    keep = bits >= jnp.uint32(_keep_threshold(p))
+    a_d = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0).astype(x.dtype)
+    if mask_ref is not None:            # debug/parity variant
+        mask_ref[0] = keep.astype(x.dtype)
+
+    out = jnp.dot(a_d, w2_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    o_ref[0] = out + b2_ref[:].astype(x.dtype)
+
+
+def _mlp_train_bwd_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
+                          b1_ref, w2_ref, g_ref,
+                          dx_ref, dw1_ref, dw2_ref, db1_ref,
+                          dlnw_ref, dlnb_ref,
+                          *, p: float, eps: float):
+    """Full backward with in-kernel weight-grad ACCUMULATION across the
+    B grid (constant out index maps keep dW1/dW2/db1/dlnw/dlnb
+    VMEM-resident; Mosaic writes them back once) — nothing (S, 4C)-
+    shaped ever reaches HBM.  The dropout mask is regenerated by
+    reseeding the same per-sample seed."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dw1_ref[...] = jnp.zeros_like(dw1_ref)
+        dw2_ref[...] = jnp.zeros_like(dw2_ref)
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+
+    x = x_ref[0]                        # (S, C)
+    g = g_ref[0]
+    # ---- recompute forward (identical math + identical PRNG stream)
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    rstd = jax.lax.rsqrt(var + eps)
+    xhat = xc * rstd
+    lnw = lnw_ref[:]
+    y = (xhat * lnw + lnb_ref[:]).astype(x.dtype)
+    h = jnp.dot(y, w1_ref[:],
+                preferred_element_type=jnp.float32).astype(x.dtype)
+    h = h + b1_ref[:].astype(x.dtype)
+    h32 = h.astype(jnp.float32)
+    cdf = 0.5 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
+    a = h32 * cdf
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(h.shape), jnp.uint32)
+    keep = bits >= jnp.uint32(_keep_threshold(p))
+    inv = 1.0 / (1.0 - p)
+    a_d = jnp.where(keep, a * inv, 0.0).astype(x.dtype)
+
+    # ---- backward
+    # da_d = g @ W2^T, transpose-free: (W2 @ g^T) = (4C, S)
+    da_d_t = jnp.dot(w2_ref[:], g.T,
+                     preferred_element_type=jnp.float32)      # (4C, S)
+    da = jnp.where(keep, da_d_t.T * inv, 0.0)                 # (S,4C) f32
+    # gelu'(h) = Phi(h) + h * phi(h)
+    pdf = jnp.exp(-0.5 * h32 * h32) * (1.0 / jnp.sqrt(2.0 * jnp.pi))
+    dh = (da * (cdf + h32 * pdf)).astype(x.dtype)             # (S, 4C)
+    # dy = dh @ W1^T, transpose-free: (W1 @ dh^T) = (C, S)
+    dy = jnp.dot(w1_ref[:], dh.T,
+                 preferred_element_type=jnp.float32).T        # (S, C) f32
+    # LN backward (fp32)
+    dyh = dy * lnw
+    mean_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
+    mean_dyh_x = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dyh - mean_dyh - xhat * mean_dyh_x)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+    # ---- weight-grad accumulation (fp32, K = S contractions)
+    dw1_ref[...] += jax.lax.dot_general(
+        y, dh, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (C, 4C)
+    dw2_ref[...] += jax.lax.dot_general(
+        a_d, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)                   # (4C, C)
+    db1_ref[...] += jnp.sum(dh.astype(jnp.float32), axis=0,
+                            keepdims=True)
+    dlnw_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dlnb_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+
+
+def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
+                        p: float, eps: float, emit_mask: bool = False):
+    B, S, C = x.shape
+    C4 = w1.shape[1]
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+    dt = x.dtype
+    w1_c, w2_c = w1.astype(dt), w2.astype(dt)
+    const2 = lambda b: (0, 0)  # noqa: E731
+
+    out_shapes = [jax.ShapeDtypeStruct((B, S_pad, C), x.dtype)]
+    out_specs = [pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                              memory_space=pltpu.VMEM)]
+    if emit_mask:
+        out_shapes.append(jax.ShapeDtypeStruct((B, S_pad, C4), x.dtype))
+        out_specs.append(pl.BlockSpec((1, S_pad, C4),
+                                      lambda b: (b, 0, 0),
+                                      memory_space=pltpu.VMEM))
+    kern = functools.partial(_mlp_train_kernel, p=p, eps=eps)
+    if emit_mask:
+        def kern(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
+                 w2_ref, b2_ref, o_ref, mask_ref):
+            _mlp_train_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
+                              b1_ref, w2_ref, b2_ref, o_ref, p=p,
+                              eps=eps, mask_ref=mask_ref)
+    res = pl.pallas_call(
+        kern,
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs if emit_mask else out_specs[0],
+        out_shape=out_shapes if emit_mask else out_shapes[0],
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * S_pad * C * C4,
+            bytes_accessed=(2 * B * S_pad * C + 2 * C * C4)
+            * x.dtype.itemsize,
+            transcendentals=2 * B * S_pad * C4,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(seeds, x, ln_w, ln_b, w1_c, b1, w2_c, b2)
+    if emit_mask:
+        return res[0][:, :S, :], res[1][:, :S, :]
+    return res[:, :S, :]
+
+
+def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
+                        p: float, eps: float):
+    B, S, C = x.shape
+    C4 = w1.shape[1]
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, S_pad - S), (0, 0)])
+    dt = x.dtype
+    w1_c, w2_c = w1.astype(dt), w2.astype(dt)
+    const2 = lambda b: (0, 0)  # noqa: E731
+    row = lambda b: (b, 0, 0)  # noqa: E731
+
+    dx, dw1, dw2, db1, dlnw, dlnb = pl.pallas_call(
+        functools.partial(_mlp_train_bwd_kernel, p=p, eps=eps),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C4), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((C, C4), jnp.float32),
+            jax.ShapeDtypeStruct((C4, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C4), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=12 * B * S_pad * C * C4,
+            bytes_accessed=(3 * B * S_pad * C + 4 * C * C4)
+            * x.dtype.itemsize,
+            transcendentals=3 * B * S_pad * C4,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(seeds, x, ln_w, ln_b, w1_c, b1, w2_c, g)
+    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    return (dx[:, :S, :], dlnw[0], dlnb[0], dw1, db1[0], dw2, db2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+def fused_mlp_half_train(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
+                         p: float, eps: float):
+    """fc2(dropout_p(gelu(fc1(LN2(x))))) — the TRAINING MLP half of a
+    block (reference vision_transformer.py:362-372) with the in-MLP
+    dropout INSIDE the kernel (Mosaic PRNG, one int32 seed per sample
+    from the layer's RNG key).  Forward and backward are single Pallas
+    kernels; the backward regenerates the mask by reseeding and
+    accumulates dW1/dW2 in VMEM across the batch grid, so nothing
+    (S, 4C)-shaped ever reaches HBM in either direction."""
+    return _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
+                               p, eps)
+
+
+def _mlp_train_vjp_fwd(x, seeds, ln_w, ln_b, w1, b1, w2, b2, p, eps):
+    out = _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
+                              p, eps)
+    return out, (x, seeds, ln_w, ln_b, w1, b1, w2)
+
+
+def _mlp_train_vjp_bwd(p, eps, res, g):
+    x, seeds, ln_w, ln_b, w1, b1, w2 = res
+    dx, dlnw, dlnb, dw1, db1, dw2, db2 = _mlp_train_bwd_impl(
+        x, seeds, ln_w, ln_b, w1, b1, w2, g, p, eps)
+    return dx, None, dlnw, dlnb, dw1, db1, dw2, db2
+
+
+fused_mlp_half_train.defvjp(_mlp_train_vjp_fwd, _mlp_train_vjp_bwd)
+
+
+def _mlp_train_twin(x, keep, ln_w, ln_b, w1, b1, w2, b2, p: float,
+                    eps: float):
+    """XLA twin of the TRAIN kernel with an EXPLICIT 0/1 keep mask
+    (obtained from the emit_mask debug output) — parity reference for
+    scripts/validate_train_mlp_kernel.py; the kernel itself generates
+    the mask with the Mosaic PRNG, which XLA cannot reproduce."""
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = ((xc * jax.lax.rsqrt(var + eps)) * ln_w + ln_b).astype(x.dtype)
+    h = (jnp.dot(y, w1.astype(x.dtype),
+                 preferred_element_type=jnp.float32).astype(x.dtype)
+         + b1.astype(x.dtype))
+    h32 = h.astype(jnp.float32)
+    a = 0.5 * h32 * (1.0 + jax.lax.erf(h32 * (2.0 ** -0.5)))
+    a_d = (a * keep.astype(jnp.float32) * (1.0 / (1.0 - p))
+           ).astype(x.dtype)
+    return (jnp.dot(a_d, w2.astype(x.dtype),
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+            + b2.astype(x.dtype))
+
+
 def _mlp_twin(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
     """Same math in XLA ops (== the block_forward MLP half with
     deterministic dropout no-ops) — backward pass + parity reference."""
