@@ -11,7 +11,10 @@ from __future__ import annotations
 
 import os
 
-_SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=32768"
+# 64 MiB: the fusion around the fused_train MLP bwd kernel stages the
+# full dx output (scales with B: 25 MB at b64) plus the dW1/dW2
+# accumulators (2 x 9.4 MB); v5e has 128 MiB physical VMEM
+_SCOPED_VMEM_FLAG = "--xla_tpu_scoped_vmem_limit_kib=65536"
 
 
 def ensure_scoped_vmem_flag() -> None:

@@ -420,6 +420,21 @@ def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
 
 
 # ----------------------------------------------------- MLP half kernel
+def _mlp_block_b(B: int) -> int:
+    """Samples per MLP grid step (env RMCL_MLP_BLOCK_B, default 1).
+    Every op in the MLP kernels is row-independent, so packing BB
+    samples per grid step just grows the matmul M dimension
+    (BB * S_pad rows); measured at ViLT-B shapes BB=2 LOSES at step
+    level (175.6 vs 171.0 ms b16 — the doubled per-step working set
+    costs more pipelining overlap than the larger M gains), so the
+    default stays 1; the knob remains for other shapes.  Clamped to a
+    divisor of B."""
+    bb = int(os.environ.get("RMCL_MLP_BLOCK_B", "1"))
+    while bb > 1 and B % bb:
+        bb //= 2
+    return max(bb, 1)
+
+
 def _erf32(x):
     """erf for fp32 in-kernel use — Mosaic lowers neither erf nor erfc.
     Abramowitz & Stegun 7.1.26 rational approximation: max abs error
@@ -466,12 +481,14 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
     dt = x.dtype
     w1_c, w2_c = w1.astype(dt), w2.astype(dt)
     const2 = lambda b: (0, 0)  # noqa: E731  (weights: VMEM-resident)
+    BB = _mlp_block_b(B)
+    x = x.reshape(B // BB, BB * S_pad, C)
 
     out = pl.pallas_call(
         functools.partial(_mlp_half_kernel, eps=eps),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
@@ -480,9 +497,9 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
             pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B // BB, BB * S_pad, C), x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * S_pad * C * C4,
             bytes_accessed=(2 * B * S_pad * C + 2 * C * C4)
@@ -495,7 +512,7 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, ln_w, ln_b, w1_c, b1, w2_c, b2)
-    return out[:, :S, :]
+    return out.reshape(B, S_pad, C)[:, :S, :]
 
 
 def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
@@ -554,22 +571,28 @@ def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float):
     w1_c, w2_c = w1.astype(dt), w2.astype(dt)
     const2 = lambda b: (0, 0)  # noqa: E731
     row = lambda b: (b, 0, 0)  # noqa: E731
+    BB = _mlp_block_b(B)
+    x = x.reshape(B // BB, BB * S_pad, C)
+    g = g.reshape(B // BB, BB * S_pad, C)
 
     dx = pl.pallas_call(
         functools.partial(_mlp_dx_kernel, eps=eps),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB * S_pad, C), row,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB * S_pad, C), row,
+                         memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S_pad, C), row,
+        out_specs=pl.BlockSpec((1, BB * S_pad, C), row,
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        out_shape=jax.ShapeDtypeStruct((B // BB, BB * S_pad, C),
+                                       x.dtype),
         cost_estimate=pl.CostEstimate(
             flops=8 * B * S_pad * C * C4,
             bytes_accessed=(3 * B * S_pad * C + 2 * C * C4)
@@ -580,7 +603,7 @@ def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float):
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, ln_w, ln_b, w1_c, w2_c, b1, g)
-    return dx[:, :S, :]
+    return dx.reshape(B, S_pad, C)[:, :S, :]
 
 
 # ------------------------------------------------ MLP train kernel
@@ -710,13 +733,18 @@ def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
     dt = x.dtype
     w1_c, w2_c = w1.astype(dt), w2.astype(dt)
     const2 = lambda b: (0, 0)  # noqa: E731
+    BB = _mlp_block_b(B)
+    x = x.reshape(B // BB, BB * S_pad, C)
+    seeds = seeds[::BB]                  # one PRNG stream per grid step
 
-    out_shapes = [jax.ShapeDtypeStruct((B, S_pad, C), x.dtype)]
-    out_specs = [pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+    out_shapes = [jax.ShapeDtypeStruct((B // BB, BB * S_pad, C),
+                                       x.dtype)]
+    out_specs = [pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
                               memory_space=pltpu.VMEM)]
     if emit_mask:
-        out_shapes.append(jax.ShapeDtypeStruct((B, S_pad, C4), x.dtype))
-        out_specs.append(pl.BlockSpec((1, S_pad, C4),
+        out_shapes.append(jax.ShapeDtypeStruct(
+            (B // BB, BB * S_pad, C4), x.dtype))
+        out_specs.append(pl.BlockSpec((1, BB * S_pad, C4),
                                       lambda b: (b, 0, 0),
                                       memory_space=pltpu.VMEM))
     kern = functools.partial(_mlp_train_kernel, p=p, eps=eps)
@@ -728,10 +756,11 @@ def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
                               eps=eps, mask_ref=mask_ref)
     res = pl.pallas_call(
         kern,
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+            pl.BlockSpec((B // BB,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
@@ -753,8 +782,9 @@ def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
         interpret=_interpret(),
     )(seeds, x, ln_w, ln_b, w1_c, b1, w2_c, b2)
     if emit_mask:
-        return res[0][:, :S, :], res[1][:, :S, :]
-    return res[:, :S, :]
+        return (res[0].reshape(B, S_pad, C)[:, :S, :],
+                res[1].reshape(B, S_pad, C4)[:, :S, :])
+    return res.reshape(B, S_pad, C)[:, :S, :]
 
 
 def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
@@ -769,22 +799,30 @@ def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
     w1_c, w2_c = w1.astype(dt), w2.astype(dt)
     const2 = lambda b: (0, 0)  # noqa: E731
     row = lambda b: (b, 0, 0)  # noqa: E731
+    BB = _mlp_block_b(B)
+    x = x.reshape(B // BB, BB * S_pad, C)
+    g = g.reshape(B // BB, BB * S_pad, C)
+    seeds = seeds[::BB]                  # matches the fwd stream
 
     dx, dw1, dw2, db1, dlnw, dlnb = pl.pallas_call(
         functools.partial(_mlp_train_bwd_kernel, p=p, eps=eps),
-        grid=(B,),
+        grid=(B // BB,),
         in_specs=[
-            pl.BlockSpec((B,), lambda b: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B // BB,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, BB * S_pad, C), row,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB * S_pad, C), row,
+                         memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BB * S_pad, C), row,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, C4), lambda b: (0, 0),
@@ -795,7 +833,7 @@ def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((B // BB, BB * S_pad, C), x.dtype),
             jax.ShapeDtypeStruct((C, C4), jnp.float32),
             jax.ShapeDtypeStruct((C4, C), jnp.float32),
             jax.ShapeDtypeStruct((1, C4), jnp.float32),
@@ -813,7 +851,8 @@ def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
         interpret=_interpret(),
     )(seeds, x, ln_w, ln_b, w1_c, b1, w2_c, g)
     db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
-    return (dx[:, :S, :], dlnw[0], dlnb[0], dw1, db1[0], dw2, db2)
+    return (dx.reshape(B, S_pad, C)[:, :S, :], dlnw[0], dlnb[0], dw1,
+            db1[0], dw2, db2)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
