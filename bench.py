@@ -190,7 +190,8 @@ def main():
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH,
         max_steps=200000,
-        remat_blocks=os.environ.get("BENCH_REMAT", "1") == "1",
+        remat_blocks=(None if "BENCH_REMAT" not in os.environ
+                      else os.environ["BENCH_REMAT"] == "1"),
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"),
         pgd_remat=(None if "BENCH_PGD_REMAT" not in os.environ
                    else os.environ["BENCH_PGD_REMAT"] == "1"),

@@ -223,7 +223,15 @@ class RMCLConfig:
     queue_dtype: str = ""
     mesh_shape: Tuple[int, ...] = (1,)
     mesh_axis_names: Tuple[str, ...] = ("data",)
-    remat_blocks: bool = False  # jax.checkpoint each transformer block
+    # jax.checkpoint each transformer block.  None derives the
+    # measured-best setting (models/vilt.py:_derive_remat): OFF when
+    # both fused Pallas half-block kernels are active (their custom_vjp
+    # saves only (x, weights) per half and the backward kernels
+    # recompute in VMEM, so the remat replay is pure waste — b16 step
+    # 170.8 -> 157.4 ms / 101.7 pairs/s, attacked one-program 551 ->
+    # 532 ms), ON for every other TPU path (the XLA block saves
+    # bias-broadcast fp32 S² residuals without it; b64 OOMs).
+    remat_blocks: Optional[bool] = None
     remat_policy: str = "full"  # "full" | "dots" (save matmul outputs)
     # override remat INSIDE the PGD attack loop only (None = inherit
     # remat_blocks); the attack differentiates w.r.t. the image delta,

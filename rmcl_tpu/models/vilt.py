@@ -75,7 +75,35 @@ def _derive_mlp_impl(cfg: RMCLConfig) -> str:
     return ""
 
 
+def _derive_remat(cfg: RMCLConfig, attn_impl: str, mlp_impl: str) -> bool:
+    """cfg.remat_blocks=None derives the measured-best setting.
+
+    With BOTH halves running as custom_vjp Pallas kernels
+    (attn "fused" + mlp "fused_train"), each half's residuals are just
+    (x, weights) and its backward kernel recomputes the forward in VMEM
+    — so jax.checkpoint's replay duplicates work the backward already
+    does.  Measured b16: 170.8 -> 157.4 ms (101.7 pairs/s), attacked
+    one-program 551 -> 532 ms; b64 fits (the kernels keep the (S,4C)/S²
+    intermediates out of HBM, which was the OOM driver).  Every other
+    path keeps remat ON on TPU: the XLA block saves bias-broadcast fp32
+    S² residuals without it (253 vs 199 ms b16; b64 OOM — ROADMAP), and
+    the plain "fused" MLP derives weight grads from an XLA twin whose
+    saved (S,4C) intermediates reintroduce the same pressure.  Off-TPU
+    (CPU tests) remat only slows the small shapes down."""
+    if cfg.remat_blocks is not None:
+        return cfg.remat_blocks
+    try:
+        on_tpu = jax.default_backend() == "tpu"
+    except Exception:
+        on_tpu = False
+    if not on_tpu:
+        return False
+    return not (attn_impl == "fused" and mlp_impl == "fused_train")
+
+
 def make_spec(cfg: RMCLConfig) -> ViTSpec:
+    attn_impl = _derive_attn_impl(cfg)
+    mlp_impl = _derive_mlp_impl(cfg)
     return ViTSpec(
         hidden_size=cfg.hidden_size,
         num_heads=cfg.num_heads,
@@ -85,12 +113,12 @@ def make_spec(cfg: RMCLConfig) -> ViTSpec:
         img_size=cfg.image_size,
         drop_rate=cfg.drop_rate,
         use_pallas=cfg.use_pallas_attention,
-        remat=cfg.remat_blocks,
+        remat=_derive_remat(cfg, attn_impl, mlp_impl),
         remat_policy=cfg.remat_policy,
-        attn_impl=_derive_attn_impl(cfg),
+        attn_impl=attn_impl,
         dropout_impl=cfg.dropout_impl,
         block_layout=cfg.block_layout,
-        mlp_impl=_derive_mlp_impl(cfg),
+        mlp_impl=mlp_impl,
     )
 
 
