@@ -521,12 +521,30 @@ def block_forward_2d(bp, x2d, mask, *, spec: ViTSpec, rng=None,
 
 def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
                       deterministic: bool = True):
-    """Run all blocks via lax.scan over stacked params, then final norm."""
+    """Run all blocks via lax.scan over stacked params, then final norm.
+
+    With a fused Pallas half-block kernel active, the residual stream is
+    padded to the kernels' 128-row alignment ONCE here and sliced back
+    after the scan, instead of every pallas_call padding its input and
+    slicing its output (2 kernels × pad+slice × num_layers full-tensor
+    HBM copies per forward).  Pad rows enter as zeros, never receive
+    attention (mask 0 ⇒ -inf key bias), and all other ops are row-local,
+    so the first S rows are IDENTICAL to the unpadded run; the junk rows
+    are dropped by the slice."""
     layer_rngs = (jax.random.split(rng, spec.num_layers)
                   if rng is not None else None)
 
     flat = spec.block_layout == "2d"
     B, S, C = x.shape
+    S_orig = S
+    if (not flat and (spec.attn_impl == "fused"
+                      or spec.mlp_impl in ("fused", "fused_train"))):
+        from rmcl_tpu.ops.pallas_block import _S_ALIGN, _round_up
+        S_pad = _round_up(S, _S_ALIGN)
+        if S_pad != S:
+            x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+            mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+            S = S_pad
     if flat:
         x = x.reshape(B * S, C)
     fwd = block_forward_2d if flat else block_forward
@@ -553,5 +571,8 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
     else:
         x, _ = jax.lax.scan(body, x, xs)
 
-    out = L.layer_norm(params["norm"], x, eps=VIT_LN_EPS)
-    return out.reshape(B, S, C) if flat else out
+    if flat:
+        x = x.reshape(B, S, C)
+    if S != S_orig:
+        x = x[:, :S_orig, :]
+    return L.layer_norm(params["norm"], x, eps=VIT_LN_EPS)

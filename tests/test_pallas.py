@@ -259,3 +259,26 @@ def test_fused_mlp_in_model_forward():
     out_t = block_forward(bp, x, mask, spec=spec_f, rng=rng,
                           deterministic=False)
     np.testing.assert_array_equal(np.asarray(out_t), np.asarray(ref_t))
+
+
+def test_transformer_hoisted_pad_matches_xla():
+    """transformer_apply pads the residual stream to the kernels'
+    128-row alignment ONCE (models/vit.py) instead of per pallas_call;
+    the first S rows must match the unfused XLA stack exactly on a
+    deterministic forward at an unaligned S."""
+    from rmcl_tpu.models.vit import ViTSpec, init_vit, transformer_apply
+    C, H, B, S = 32, 4, 2, 23
+    spec = ViTSpec(hidden_size=C, num_heads=H, num_layers=3,
+                   drop_rate=0.0, use_pallas=False, attn_impl="")
+    spec_f = spec._replace(attn_impl="fused", mlp_impl="fused")
+    params = init_vit(jax.random.PRNGKey(0), spec)
+    r = np.random.RandomState(5)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.2).astype(np.int32))
+    ref = transformer_apply(params, x, mask, spec=spec,
+                            deterministic=True)
+    out = transformer_apply(params, x, mask, spec=spec_f,
+                            deterministic=True)
+    assert out.shape == ref.shape == (B, S, C)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5)
