@@ -410,12 +410,22 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
         # differentiate to the input).
         from rmcl_tpu.ops.pallas_block import (fused_attn_half,
                                                fused_attn_half_det)
-        attn_fn = fused_attn_half_det if deterministic else fused_attn_half
-        attn = attn_fn(
-            x, mask, bp["norm1"]["weight"], bp["norm1"]["bias"],
-            bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
-            bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
-            Hh, D ** -0.5, VIT_LN_EPS)
+        if deterministic:
+            # post-attention dropout is a no-op, so the residual add
+            # fuses into the kernel (residual=True) and the XLA
+            # dropout+add below are skipped entirely
+            x = fused_attn_half_det(
+                x, mask, bp["norm1"]["weight"], bp["norm1"]["bias"],
+                bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+                bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+                Hh, D ** -0.5, VIT_LN_EPS, True)
+            attn = None
+        else:
+            attn = fused_attn_half(
+                x, mask, bp["norm1"]["weight"], bp["norm1"]["bias"],
+                bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+                bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+                Hh, D ** -0.5, VIT_LN_EPS)
     else:
         y = L.layer_norm(bp["norm1"], x, eps=VIT_LN_EPS)
         qkv = L.linear(bp["attn"]["qkv"], y).reshape(B, S, 3, Hh, D)
@@ -427,22 +437,23 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
                                 impl=spec.attn_impl or None)
         attn = attn.transpose(0, 2, 1, 3).reshape(B, S, C)
         attn = L.linear(bp["attn"]["proj"], attn)
-    attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic,
-                     impl=spec.dropout_impl)
-    x = x + attn
+    if attn is not None:
+        attn = L.dropout(attn, spec.drop_rate, rngs[0], deterministic,
+                         impl=spec.dropout_impl)
+        x = x + attn
 
     if (spec.mlp_impl in ("fused", "fused_train")
             and (deterministic or spec.drop_rate == 0.0)):
-        # one Pallas kernel for LN2 + fc1 + gelu + fc2; legal when the
-        # in-MLP dropout (rngs[1]) is a no-op, i.e. deterministic
-        # forwards — PGD, key encoder, candidate scoring, eval
+        # one Pallas kernel for LN2 + fc1 + gelu + fc2 + residual;
+        # legal when the in-MLP dropout (rngs[1]) is a no-op, i.e.
+        # deterministic forwards — PGD, key encoder, candidate
+        # scoring, eval
         from rmcl_tpu.ops.pallas_block import fused_mlp_half
-        y = fused_mlp_half(
+        return fused_mlp_half(
             x, bp["norm2"]["weight"], bp["norm2"]["bias"],
             bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
             bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
-            VIT_LN_EPS)
-        return x + y
+            VIT_LN_EPS, True)
 
     if spec.mlp_impl == "fused_train" and rngs[1] is not None:
         # training MLP half as one Pallas kernel with IN-KERNEL

@@ -59,7 +59,8 @@ def _round_up(x: int, m: int) -> int:
 # ------------------------------------------------------------------ kernel
 def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
                        bqkv_ref, wproj_ref, bproj_ref, o_ref,
-                       *, H: int, scale: float, eps: float):
+                       *, H: int, scale: float, eps: float,
+                       residual: bool = False):
     x = x_ref[0]                        # (S, C) activation dtype
     S, C = x.shape
     D = C // H
@@ -103,11 +104,15 @@ def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
 
     out = jnp.dot(attn, wproj_ref[:],
                   preferred_element_type=jnp.float32).astype(x.dtype)
-    o_ref[0] = out + bproj_ref[:].astype(x.dtype)
+    out = out + bproj_ref[:].astype(x.dtype)
+    # post-attention residual fused in (x is already VMEM-resident) —
+    # saves the separate XLA add's full-tensor HBM round trip per block
+    o_ref[0] = (x + out) if residual else out
 
 
 def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
-              H: int, scale: float, eps: float):
+              H: int, scale: float, eps: float,
+              residual: bool = False):
     B, S, C = x.shape
     S_pad = _round_up(S, _S_ALIGN)
     if S_pad != S:
@@ -123,7 +128,8 @@ def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
     const2 = lambda b: (0, 0)  # noqa: E731  (weights: VMEM-resident)
 
     out = pl.pallas_call(
-        functools.partial(_half_block_kernel, H=H, scale=scale, eps=eps),
+        functools.partial(_half_block_kernel, H=H, scale=scale, eps=eps,
+                          residual=residual),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
@@ -289,13 +295,18 @@ def _half_block_bwd_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
 
 def _half_block_dx_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
                           wproj_ref, bqkv_ref, g_ref, dx_ref,
-                          *, H: int, scale: float, eps: float):
+                          *, H: int, scale: float, eps: float,
+                          residual: bool = False):
     """dx-only backward: skips the (B, S, 5C) HBM writes of the
     weight-grad intermediates — for deterministic callers that only
-    differentiate to the input (PGD, greedy grad pass)."""
+    differentiate to the input (PGD, greedy grad pass).  With the
+    fused residual (out = x + f(x)) the identity branch's gradient is
+    added in VMEM (dx += g)."""
     dx, *_ = _attn_bwd_math(
         x_ref[0], bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
         wproj_ref[:], bqkv_ref[:], g_ref[0], H, scale, eps)
+    if residual:
+        dx = dx + g_ref[0].astype(jnp.float32)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
@@ -375,7 +386,8 @@ def _bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
 
 
 def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
-                 H: int, scale: float, eps: float):
+                 H: int, scale: float, eps: float,
+                 residual: bool = False):
     B, S, C = x.shape
     S_pad = _round_up(S, _S_ALIGN)
     if S_pad != S:
@@ -391,7 +403,7 @@ def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
 
     dx = pl.pallas_call(
         functools.partial(_half_block_dx_kernel, H=H, scale=scale,
-                          eps=eps),
+                          eps=eps, residual=residual),
         grid=(B,),
         in_specs=[
             pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
@@ -446,7 +458,8 @@ def _erf32(x):
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 def _mlp_half_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                     b2_ref, o_ref, *, eps: float):
+                     b2_ref, o_ref, *, eps: float,
+                     residual: bool = False):
     """LN2 + fc1 + exact-erf gelu + fc2 for one sample, weights
     VMEM-resident across the B grid.  The (S, 4C) intermediate never
     touches HBM (the XLA path writes+reads it between the two matmuls,
@@ -467,10 +480,12 @@ def _mlp_half_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
          ).astype(x.dtype)
     out = jnp.dot(a, w2_ref[:],
                   preferred_element_type=jnp.float32).astype(x.dtype)
-    o_ref[0] = out + b2_ref[:].astype(x.dtype)
+    out = out + b2_ref[:].astype(x.dtype)
+    o_ref[0] = (x + out) if residual else out
 
 
-def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
+def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
+                  residual: bool = False):
     B, S, C = x.shape
     C4 = w1.shape[1]
     S_pad = _round_up(S, _S_ALIGN)
@@ -485,7 +500,7 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
     x = x.reshape(B // BB, BB * S_pad, C)
 
     out = pl.pallas_call(
-        functools.partial(_mlp_half_kernel, eps=eps),
+        functools.partial(_mlp_half_kernel, eps=eps, residual=residual),
         grid=(B // BB,),
         in_specs=[
             pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
@@ -516,7 +531,8 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
 
 
 def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
-                   g_ref, dx_ref, *, eps: float):
+                   g_ref, dx_ref, *, eps: float,
+                   residual: bool = False):
     """Per-sample dx-only backward: recomputes y/h in VMEM (remat-style)
     then walks the chain back — the (S, 4C) intermediates never touch
     HBM in either direction.  Weight grads are NOT computed here; the
@@ -557,10 +573,13 @@ def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
     mean_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
     mean_dyh_x = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
     dx = rstd * (dyh - mean_dyh - xhat * mean_dyh_x)
+    if residual:
+        dx = dx + g.astype(jnp.float32)
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
-def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float):
+def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float,
+                 residual: bool = False):
     B, S, C = x.shape
     C4 = w1.shape[1]
     S_pad = _round_up(S, _S_ALIGN)
@@ -576,7 +595,7 @@ def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float):
     g = g.reshape(B // BB, BB * S_pad, C)
 
     dx = pl.pallas_call(
-        functools.partial(_mlp_dx_kernel, eps=eps),
+        functools.partial(_mlp_dx_kernel, eps=eps, residual=residual),
         grid=(B // BB,),
         in_specs=[
             pl.BlockSpec((1, BB * S_pad, C), row,
@@ -925,8 +944,9 @@ def _mlp_twin(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
             + b2.astype(x.dtype))
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(7,))
-def fused_mlp_half(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8))
+def fused_mlp_half(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
+                   residual: bool = False):
     """fc2(gelu(fc1(LN2(x)))) — the deterministic MLP half of a block
     (reference vision_transformer.py:335-376; dropout is a no-op in
     every deterministic forward: PGD, key encoder, candidate scoring,
@@ -935,26 +955,33 @@ def fused_mlp_half(x, ln_w, ln_b, w1, b1, w2, b2, eps: float):
     gets dead-code-eliminated when only input grads are requested —
     which is every production caller that differentiates this path
     (PGD, greedy grad pass).  Set RMCL_PALLAS_BLOCK_XLA_BWD=1 to fall
-    back to differentiating the XLA twin entirely."""
-    return _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps)
+    back to differentiating the XLA twin entirely.
+
+    residual=True returns x + f(x) with the residual add fused into the
+    kernels (and dx += g in the dx kernel) — see fused_attn_half_det."""
+    return _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps,
+                         residual=residual)
 
 
-def _mlp_vjp_fwd(x, ln_w, ln_b, w1, b1, w2, b2, eps):
-    out = _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps)
+def _mlp_vjp_fwd(x, ln_w, ln_b, w1, b1, w2, b2, eps, residual):
+    out = _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps,
+                        residual=residual)
     return out, (x, ln_w, ln_b, w1, b1, w2, b2)
 
 
-def _mlp_vjp_bwd(eps, res, g):
+def _mlp_vjp_bwd(eps, residual, res, g):
     x, ln_w, ln_b, w1, b1, w2, b2 = res
+    # weight grads: d(x + f)/dw == df/dw — twin stays residual-free
     _, pullback = jax.vjp(
         lambda x_, lw, lb, a1, c1, a2, c2: _mlp_twin(
             x_, lw, lb, a1, c1, a2, c2, eps),
         x, ln_w, ln_b, w1, b1, w2, b2)
     dx_t, dlw, dlb, dw1, db1, dw2, db2 = pullback(g)
     if os.environ.get("RMCL_PALLAS_BLOCK_XLA_BWD", "0") == "1":
-        dx = dx_t
+        dx = dx_t + g if residual else dx_t
     else:
-        dx = _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps)
+        dx = _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps,
+                          residual=residual)
     return dx, dlw, dlb, dw1, db1, dw2, db2
 
 
@@ -1000,30 +1027,44 @@ def _vjp_bwd(H, scale, eps, res, g):
 fused_attn_half.defvjp(_vjp_fwd, _vjp_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11))
 def fused_attn_half_det(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
-                        H: int, scale: float, eps: float):
+                        H: int, scale: float, eps: float,
+                        residual: bool = False):
     """fused_attn_half for DETERMINISTIC callers (PGD, key encoder,
     candidate scoring, eval): same forward kernel, but the backward
     computes dx with a dx-only Pallas kernel (no (B, S, 5C) weight-grad
     intermediate writes) and derives weight grads from an XLA twin that
     is dead-code-eliminated whenever only input grads are requested —
     which is every production deterministic caller that differentiates
-    (PGD attacks/pgd.py, greedy commit-loop grad pass)."""
+    (PGD attacks/pgd.py, greedy commit-loop grad pass).
+
+    residual=True returns x + f(x) with the post-attention residual add
+    fused into the kernels (x is VMEM-resident anyway; dropout between
+    f and the add is a no-op on deterministic paths), removing the
+    separate XLA add's full-tensor HBM round trip per block."""
     return _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
-                     H, scale, eps)
+                     H, scale, eps, residual=residual)
 
 
-def _det_vjp_bwd(H, scale, eps, res, g):
+def _det_vjp_fwd(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                 H, scale, eps, residual):
+    out = _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                    H, scale, eps, residual=residual)
+    return out, (x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj)
+
+
+def _det_vjp_bwd(H, scale, eps, residual, res, g):
     x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj = res
+    # weight grads: d(x + f)/dw == df/dw, so the twin needs no residual
     _, pullback = jax.vjp(
         lambda lw, lb, wq, bq, wp, bp: _xla_twin(
             x, mask, lw, lb, wq, bq, wp, bp, H, scale, eps),
         ln_w, ln_b, wqkv, bqkv, wproj, bproj)
     dlw, dlb, dwq, dbq, dwp, dbp = pullback(g)
     dx = _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
-                      H, scale, eps)
+                      H, scale, eps, residual=residual)
     return dx, None, dlw, dlb, dwq, dbq, dwp, dbp
 
 
-fused_attn_half_det.defvjp(_vjp_fwd, _det_vjp_bwd)
+fused_attn_half_det.defvjp(_det_vjp_fwd, _det_vjp_bwd)

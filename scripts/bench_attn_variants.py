@@ -181,3 +181,96 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+# ---- v4: BB samples per grid step (independent chains for ILP) ----
+def make_kernel_v4(BB):
+    def kernel_v4(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                  wproj_ref, bproj_ref, o_ref):
+        for j in range(BB):
+            x = x_ref[j]
+            y = _ln(x, lnw_ref[:], lnb_ref[:])
+            qkv = jnp.dot(y, wqkv_ref[:],
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+            qkv = qkv + bqkv_ref[:].astype(x.dtype)
+            qkv_t = qkv.T.reshape(3, H, D, SP)
+            q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
+            scores = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * SCALE
+            scores = scores + bias_ref[j][None, :, :]
+            m = jnp.max(scores, axis=-1, keepdims=True)
+            e = jnp.exp(scores - m)
+            p = e / jnp.sum(e, axis=-1, keepdims=True)
+            attn = jax.lax.dot_general(
+                v, p.astype(x.dtype),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(x.dtype)
+            attn = attn.reshape(C, SP).T
+            out = jnp.dot(attn, wproj_ref[:],
+                          preferred_element_type=jnp.float32
+                          ).astype(x.dtype)
+            o_ref[j] = out + bproj_ref[:].astype(x.dtype)
+    return kernel_v4
+
+
+def call_v4(BB, x, bias, lnw, lnb, wqkv, bqkv, wproj, bproj):
+    const2 = lambda b: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        make_kernel_v4(BB),
+        grid=(B // BB,),
+        in_specs=[
+            pl.BlockSpec((BB, SP, C), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BB, 1, SP), lambda b: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((BB, SP, C), lambda b: (b, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, SP, C), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(x, bias, lnw, lnb, wqkv, bqkv, wproj, bproj)
+
+
+def main_v4():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, SP, C)), jnp.bfloat16)
+    maskp = jnp.pad(jnp.ones((B, S), jnp.int32),
+                    [(0, 0), (0, SP - S)])
+    bias = jnp.where(maskp > 0, 0.0, -1e30).astype(
+        jnp.float32)[:, None, :]
+    lnw = jnp.ones((C,), jnp.float32)
+    lnb = jnp.zeros((C,), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.02,
+                       jnp.bfloat16)
+    bqkv = jnp.zeros((3 * C,), jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.02,
+                        jnp.bfloat16)
+    bproj = jnp.zeros((C,), jnp.float32)
+
+    def chain(fn):
+        def make(n):
+            def prog(x0):
+                out = jax.lax.fori_loop(0, n, lambda i, a: fn(a), x0)
+                return jnp.sum(out.astype(jnp.float32))
+            return jax.jit(prog)
+        return make
+
+    for BB in (2, 4):
+        per, n = bench_prog(chain(lambda a: call_v4(
+            BB, a, bias, lnw, lnb, wqkv, bqkv, wproj, bproj)), x)
+        print(f"  v4 BB={BB}     {per * 1e3:7.3f} ms  "
+              f"{FLOPS / per / 1e12:6.1f} TF/s", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("V4", "1") == "1":
+    main_v4()
