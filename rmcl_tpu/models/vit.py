@@ -420,6 +420,23 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
                 bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
                 Hh, D ** -0.5, VIT_LN_EPS, True)
             attn = None
+        elif (spec.mlp_impl == "fused_train" and rngs[0] is not None
+              and spec.drop_rate > 0.0):
+            # training attention half with IN-KERNEL dropout + residual
+            # + in-kernel weight-grad accumulation; gated with the MLP
+            # train kernel since both need the raised scoped-vmem limit
+            # (models/vilt.py:_derive_mlp_impl).  Mask stream = Mosaic
+            # PRNG (PARITY #19/#20); rngs[0] still seeds it.
+            from rmcl_tpu.ops.pallas_block import fused_attn_half_train
+            seeds0 = jax.lax.bitcast_convert_type(
+                jax.random.bits(rngs[0], (B,), jnp.uint32), jnp.int32)
+            x = fused_attn_half_train(
+                x, seeds0, mask,
+                bp["norm1"]["weight"], bp["norm1"]["bias"],
+                bp["attn"]["qkv"]["kernel"], bp["attn"]["qkv"]["bias"],
+                bp["attn"]["proj"]["kernel"], bp["attn"]["proj"]["bias"],
+                Hh, D ** -0.5, VIT_LN_EPS, spec.drop_rate)
+            attn = None
         else:
             attn = fused_attn_half(
                 x, mask, bp["norm1"]["weight"], bp["norm1"]["bias"],
@@ -461,17 +478,17 @@ def block_forward(bp, x, mask, *, spec: ViTSpec, rng=None,
         # bwd kernel reseeds to regenerate the identical mask).  The
         # mask stream differs from the XLA dropout impls — PARITY #19.
         # The outer dropouts (rngs[0], rngs[2]) stay outside as usual.
+        # tail=True folds the post-fc2 dropout (drop2, continued PRNG
+        # stream — rngs[2] goes unused, PARITY #20) and the residual
+        # add into the same kernel
         from rmcl_tpu.ops.pallas_block import fused_mlp_half_train
         seeds = jax.lax.bitcast_convert_type(
             jax.random.bits(rngs[1], (B,), jnp.uint32), jnp.int32)
-        y = fused_mlp_half_train(
+        return fused_mlp_half_train(
             x, seeds, bp["norm2"]["weight"], bp["norm2"]["bias"],
             bp["mlp"]["fc1"]["kernel"], bp["mlp"]["fc1"]["bias"],
             bp["mlp"]["fc2"]["kernel"], bp["mlp"]["fc2"]["bias"],
-            spec.drop_rate, VIT_LN_EPS)
-        y = L.dropout(y, spec.drop_rate, rngs[2], deterministic,
-                      impl=spec.dropout_impl)
-        return x + y
+            spec.drop_rate, VIT_LN_EPS, True)
 
     y = L.layer_norm(bp["norm2"], x, eps=VIT_LN_EPS)
     y = L.gelu(L.linear(bp["mlp"]["fc1"], y))

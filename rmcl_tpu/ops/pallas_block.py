@@ -152,6 +152,10 @@ def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
             bytes_accessed=(2 * B * S_pad * C + 4 * C * C) * x.dtype.itemsize,
             transcendentals=B * (C // (C // 12)) * S_pad * S_pad,
         ),
+        # fp32 activations (validation harness) exceed the 16 MB
+        # default scoped limit; bf16 production fits either way
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, bias, ln_w, ln_b, wqkv_c, bqkv, wproj_c, bproj)
     return out[:, :S, :]
@@ -633,15 +637,30 @@ def _keep_threshold(p: float) -> int:
 
 def _mlp_train_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
                       w2_ref, b2_ref, o_ref, *, p: float, eps: float,
-                      mask_ref=None):
+                      mask_ref=None, tail: bool = False):
     """LN2 + fc1 + gelu + in-kernel inverted dropout + fc2 for one
     sample.  The dropout mask comes from the Mosaic per-core PRNG
     seeded with seed_ref[0] (deterministic per seed — the backward
     kernel reseeds and regenerates the identical mask), so the (S, 4C)
     intermediates AND the mask never touch HBM.  RNG stream therefore
     differs from the XLA path's threefry/rbg (PARITY #15 precedent:
-    dropout impls may own their stream)."""
+    dropout impls may own their stream).
+
+    tail=True additionally applies the post-fc2 dropout (the block's
+    rngs[2] dropout, reference vision_transformer.py:372 drop2) from
+    the CONTINUED PRNG stream and adds the residual: o = x + drop_p(f).
+    Both masks are regenerated in the backward by reseeding once and
+    drawing in the same order."""
     x = x_ref[0]                        # (S, C)
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits((x.shape[0], w1_ref.shape[1])),
+        jnp.uint32)
+    keep = bits >= jnp.uint32(_keep_threshold(p))
+    if tail:
+        bits2 = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(x.shape), jnp.uint32)
+        keep2 = bits2 >= jnp.uint32(_keep_threshold(p))
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     xc = x32 - mean
@@ -654,29 +673,35 @@ def _mlp_train_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
     h32 = h.astype(jnp.float32)
     a = 0.5 * h32 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
 
-    pltpu.prng_seed(seed_ref[pl.program_id(0)])
-    bits = jax.lax.bitcast_convert_type(
-        pltpu.prng_random_bits(h.shape), jnp.uint32)
-    keep = bits >= jnp.uint32(_keep_threshold(p))
     a_d = jnp.where(keep, a * (1.0 / (1.0 - p)), 0.0).astype(x.dtype)
     if mask_ref is not None:            # debug/parity variant
         mask_ref[0] = keep.astype(x.dtype)
 
     out = jnp.dot(a_d, w2_ref[:],
                   preferred_element_type=jnp.float32).astype(x.dtype)
-    o_ref[0] = out + b2_ref[:].astype(x.dtype)
+    out = out + b2_ref[:].astype(x.dtype)
+    if tail:
+        out = jnp.where(keep2, out * (1.0 / (1.0 - p)),
+                        0.0).astype(x.dtype)
+        out = x + out
+    o_ref[0] = out
 
 
 def _mlp_train_bwd_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
                           b1_ref, w2_ref, g_ref,
                           dx_ref, dw1_ref, dw2_ref, db1_ref,
-                          dlnw_ref, dlnb_ref,
-                          *, p: float, eps: float):
+                          dlnw_ref, dlnb_ref, db2_ref=None,
+                          *, p: float, eps: float, tail: bool = False):
     """Full backward with in-kernel weight-grad ACCUMULATION across the
     B grid (constant out index maps keep dW1/dW2/db1/dlnw/dlnb
     VMEM-resident; Mosaic writes them back once) — nothing (S, 4C)-
     shaped ever reaches HBM.  The dropout mask is regenerated by
-    reseeding the same per-sample seed."""
+    reseeding the same per-sample seed.
+
+    tail=True mirrors the forward's fused post-fc2 dropout + residual:
+    the upstream cotangent for f is keep2·g/(1-p); dx gains the
+    identity branch's +g; db2 contracts the masked cotangent so it
+    moves in-kernel (db2_ref)."""
     b = pl.program_id(0)
 
     @pl.when(b == 0)
@@ -686,10 +711,27 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
         db1_ref[...] = jnp.zeros_like(db1_ref)
         dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
         dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        if tail:
+            db2_ref[...] = jnp.zeros_like(db2_ref)
 
     x = x_ref[0]                        # (S, C)
     g = g_ref[0]
-    # ---- recompute forward (identical math + identical PRNG stream)
+    inv = 1.0 / (1.0 - p)
+    # ---- regenerate the PRNG stream (same seed + draw order as fwd)
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits((x.shape[0], w1_ref.shape[1])),
+        jnp.uint32)
+    keep = bits >= jnp.uint32(_keep_threshold(p))
+    if tail:
+        bits2 = jax.lax.bitcast_convert_type(
+            pltpu.prng_random_bits(x.shape), jnp.uint32)
+        keep2 = bits2 >= jnp.uint32(_keep_threshold(p))
+        gf = jnp.where(keep2, g.astype(jnp.float32) * inv,
+                       0.0).astype(x.dtype)     # cotangent into fc2+b2
+    else:
+        gf = g
+    # ---- recompute forward (identical math)
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     xc = x32 - mean
@@ -704,16 +746,11 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
     h32 = h.astype(jnp.float32)
     cdf = 0.5 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
     a = h32 * cdf
-    pltpu.prng_seed(seed_ref[pl.program_id(0)])
-    bits = jax.lax.bitcast_convert_type(
-        pltpu.prng_random_bits(h.shape), jnp.uint32)
-    keep = bits >= jnp.uint32(_keep_threshold(p))
-    inv = 1.0 / (1.0 - p)
     a_d = jnp.where(keep, a * inv, 0.0).astype(x.dtype)
 
     # ---- backward
-    # da_d = g @ W2^T, transpose-free: (W2 @ g^T) = (4C, S)
-    da_d_t = jnp.dot(w2_ref[:], g.T,
+    # da_d = gf @ W2^T, transpose-free: (W2 @ gf^T) = (4C, S)
+    da_d_t = jnp.dot(w2_ref[:], gf.T,
                      preferred_element_type=jnp.float32)      # (4C, S)
     da = jnp.where(keep, da_d_t.T * inv, 0.0)                 # (S,4C) f32
     # gelu'(h) = Phi(h) + h * phi(h)
@@ -727,6 +764,8 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
     mean_dyh = jnp.mean(dyh, axis=-1, keepdims=True)
     mean_dyh_x = jnp.mean(dyh * xhat, axis=-1, keepdims=True)
     dx = rstd * (dyh - mean_dyh - xhat * mean_dyh_x)
+    if tail:
+        dx = dx + g.astype(jnp.float32)         # residual identity branch
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
     # ---- weight-grad accumulation (fp32, K = S contractions)
@@ -734,16 +773,20 @@ def _mlp_train_bwd_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
         y, dh, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                   # (C, 4C)
     dw2_ref[...] += jax.lax.dot_general(
-        a_d, g, dimension_numbers=(((0,), (0,)), ((), ())),
+        a_d, gf, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)                   # (4C, C)
     db1_ref[...] += jnp.sum(dh.astype(jnp.float32), axis=0,
                             keepdims=True)
     dlnw_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
     dlnb_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    if tail:
+        db2_ref[...] += jnp.sum(gf.astype(jnp.float32), axis=0,
+                                keepdims=True)
 
 
 def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
-                        p: float, eps: float, emit_mask: bool = False):
+                        p: float, eps: float, emit_mask: bool = False,
+                        tail: bool = False):
     B, S, C = x.shape
     C4 = w1.shape[1]
     S_pad = _round_up(S, _S_ALIGN)
@@ -766,7 +809,7 @@ def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
         out_specs.append(pl.BlockSpec((1, BB * S_pad, C4),
                                       lambda b: (b, 0, 0),
                                       memory_space=pltpu.VMEM))
-    kern = functools.partial(_mlp_train_kernel, p=p, eps=eps)
+    kern = functools.partial(_mlp_train_kernel, p=p, eps=eps, tail=tail)
     if emit_mask:
         def kern(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref,
                  w2_ref, b2_ref, o_ref, mask_ref):
@@ -807,7 +850,7 @@ def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
 
 
 def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
-                        p: float, eps: float):
+                        p: float, eps: float, tail: bool = False):
     B, S, C = x.shape
     C4 = w1.shape[1]
     S_pad = _round_up(S, _S_ALIGN)
@@ -823,8 +866,31 @@ def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
     g = g.reshape(B // BB, BB * S_pad, C)
     seeds = seeds[::BB]                  # matches the fwd stream
 
-    dx, dw1, dw2, db1, dlnw, dlnb = pl.pallas_call(
-        functools.partial(_mlp_train_bwd_kernel, p=p, eps=eps),
+    out_specs = [
+        pl.BlockSpec((1, BB * S_pad, C), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C4), lambda b: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C), lambda b: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((B // BB, BB * S_pad, C), x.dtype),
+        jax.ShapeDtypeStruct((C, C4), jnp.float32),
+        jax.ShapeDtypeStruct((C4, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C4), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+        jax.ShapeDtypeStruct((1, C), jnp.float32),
+    ]
+    if tail:
+        out_specs.append(pl.BlockSpec((1, C), lambda b: (0, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((1, C), jnp.float32))
+
+    res = pl.pallas_call(
+        functools.partial(_mlp_train_bwd_kernel, p=p, eps=eps,
+                          tail=tail),
         grid=(B // BB,),
         in_specs=[
             pl.BlockSpec((B // BB,), lambda b: (0,),
@@ -839,26 +905,8 @@ def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
             pl.BlockSpec((1, BB * S_pad, C), row,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((1, BB * S_pad, C), row,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C4), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C), lambda b: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B // BB, BB * S_pad, C), x.dtype),
-            jax.ShapeDtypeStruct((C, C4), jnp.float32),
-            jax.ShapeDtypeStruct((C4, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C4), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
-            jax.ShapeDtypeStruct((1, C), jnp.float32),
-        ),
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
         cost_estimate=pl.CostEstimate(
             flops=12 * B * S_pad * C * C4,
             bytes_accessed=(3 * B * S_pad * C + 4 * C * C4)
@@ -869,35 +917,43 @@ def _mlp_train_bwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, g,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(seeds, x, ln_w, ln_b, w1_c, b1, w2_c, g)
-    db2 = jnp.sum(g.astype(jnp.float32), axis=(0, 1))
+    dx, dw1, dw2, db1, dlnw, dlnb = res[:6]
+    db2 = (res[6][0] if tail
+           else jnp.sum(g.astype(jnp.float32), axis=(0, 1)))
     return (dx.reshape(B, S_pad, C)[:, :S, :], dlnw[0], dlnb[0], dw1,
             db1[0], dw2, db2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10))
 def fused_mlp_half_train(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
-                         p: float, eps: float):
+                         p: float, eps: float, tail: bool = False):
     """fc2(dropout_p(gelu(fc1(LN2(x))))) — the TRAINING MLP half of a
     block (reference vision_transformer.py:362-372) with the in-MLP
     dropout INSIDE the kernel (Mosaic PRNG, one int32 seed per sample
     from the layer's RNG key).  Forward and backward are single Pallas
     kernels; the backward regenerates the mask by reseeding and
     accumulates dW1/dW2 in VMEM across the batch grid, so nothing
-    (S, 4C)-shaped ever reaches HBM in either direction."""
+    (S, 4C)-shaped ever reaches HBM in either direction.
+
+    tail=True also fuses the block's post-fc2 dropout (drop2, from the
+    continued PRNG stream) and the residual add:
+    returns x + drop_p(fc2(drop_p(gelu(fc1(LN2(x)))))) — the complete
+    training MLP half with zero XLA elementwise ops between blocks."""
     return _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
-                               p, eps)
+                               p, eps, tail=tail)
 
 
-def _mlp_train_vjp_fwd(x, seeds, ln_w, ln_b, w1, b1, w2, b2, p, eps):
+def _mlp_train_vjp_fwd(x, seeds, ln_w, ln_b, w1, b1, w2, b2, p, eps,
+                       tail):
     out = _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
-                              p, eps)
+                              p, eps, tail=tail)
     return out, (x, seeds, ln_w, ln_b, w1, b1, w2)
 
 
-def _mlp_train_vjp_bwd(p, eps, res, g):
+def _mlp_train_vjp_bwd(p, eps, tail, res, g):
     x, seeds, ln_w, ln_b, w1, b1, w2 = res
     dx, dlnw, dlnb, dw1, db1, dw2, db2 = _mlp_train_bwd_impl(
-        x, seeds, ln_w, ln_b, w1, b1, w2, g, p, eps)
+        x, seeds, ln_w, ln_b, w1, b1, w2, g, p, eps, tail=tail)
     return dx, None, dlnw, dlnb, dw1, db1, dw2, db2
 
 
@@ -1068,3 +1124,250 @@ def _det_vjp_bwd(H, scale, eps, residual, res, g):
 
 
 fused_attn_half_det.defvjp(_det_vjp_fwd, _det_vjp_bwd)
+
+
+# ------------------------------------------------ attention train kernel
+def _attn_train_kernel(seed_ref, x_ref, bias_ref, lnw_ref, lnb_ref,
+                       wqkv_ref, bqkv_ref, wproj_ref, bproj_ref, o_ref,
+                       *, H: int, scale: float, eps: float, p: float):
+    """TRAINING attention half: LN1 + qkv + attention + proj + the
+    post-proj dropout (Mosaic PRNG, reference vision_transformer.py
+    proj_drop :332) + the residual add, all in one kernel.  The
+    backward kernel reseeds to regenerate the identical mask (PARITY
+    #19/#20 precedent: dropout impls own their stream)."""
+    x = x_ref[0]
+    S, C = x.shape
+    D = C // H
+    pltpu.prng_seed(seed_ref[pl.program_id(0)])
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(x.shape), jnp.uint32)
+    keep = bits >= jnp.uint32(_keep_threshold(p))
+
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    xc = x32 - mean
+    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
+    y = (xc * jax.lax.rsqrt(var + eps)) * lnw_ref[:] + lnb_ref[:]
+    y = y.astype(x.dtype)
+    qkv = jnp.dot(y, wqkv_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    qkv = qkv + bqkv_ref[:].astype(x.dtype)
+    qkv_t = qkv.T.reshape(3, H, D, S)
+    q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
+    scores = jax.lax.dot_general(
+        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32) * scale
+    scores = scores + bias_ref[0][None, :, :]
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    pr = e / jnp.sum(e, axis=-1, keepdims=True)
+    attn = jax.lax.dot_general(
+        v, pr.astype(x.dtype),
+        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32).astype(x.dtype)
+    attn = attn.reshape(C, S).T
+    out = jnp.dot(attn, wproj_ref[:],
+                  preferred_element_type=jnp.float32).astype(x.dtype)
+    out = out + bproj_ref[:].astype(x.dtype)
+    out = jnp.where(keep, out * (1.0 / (1.0 - p)), 0.0).astype(x.dtype)
+    o_ref[0] = x + out
+
+
+def _attn_train_bwd_kernel(seed_ref, x_ref, bias_ref, lnw_ref, lnb_ref,
+                           wqkv_ref, wproj_ref, bqkv_ref, g_ref,
+                           dx_ref, dlnw_ref, dlnb_ref, dwqkv_ref,
+                           dbqkv_ref, dwproj_ref, dbproj_ref,
+                           *, H: int, scale: float, eps: float,
+                           p: float):
+    """Training attention-half backward with in-kernel WEIGHT-GRAD
+    ACCUMULATION across the B grid (same pattern as the MLP train bwd):
+    nothing (S, 5C)-shaped ever reaches HBM — the round-2 full-bwd
+    kernel emitted y/attn/dqkv per sample for outside XLA contractions.
+    The dropout mask is regenerated by reseeding; the masked cotangent
+    gm = keep·g/(1-p) drives the f-branch, dx gains the residual's
+    +g."""
+    b = pl.program_id(0)
+
+    @pl.when(b == 0)
+    def _init():
+        dlnw_ref[...] = jnp.zeros_like(dlnw_ref)
+        dlnb_ref[...] = jnp.zeros_like(dlnb_ref)
+        dwqkv_ref[...] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[...] = jnp.zeros_like(dbqkv_ref)
+        dwproj_ref[...] = jnp.zeros_like(dwproj_ref)
+        dbproj_ref[...] = jnp.zeros_like(dbproj_ref)
+
+    x = x_ref[0]
+    g = g_ref[0]
+    pltpu.prng_seed(seed_ref[b])
+    bits = jax.lax.bitcast_convert_type(
+        pltpu.prng_random_bits(x.shape), jnp.uint32)
+    keep = bits >= jnp.uint32(_keep_threshold(p))
+    gm = jnp.where(keep, g.astype(jnp.float32) * (1.0 / (1.0 - p)),
+                   0.0).astype(x.dtype)
+
+    dx, dqkv, y, attn, dlnw, dlnb = _attn_bwd_math(
+        x, bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
+        wproj_ref[:], bqkv_ref[:], gm, H, scale, eps)
+    dx_ref[0] = (dx + g.astype(jnp.float32)).astype(dx_ref.dtype)
+
+    dlnw_ref[...] += dlnw
+    dlnb_ref[...] += dlnb
+    dwqkv_ref[...] += jax.lax.dot_general(
+        y, dqkv, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (C, 3C)
+    dbqkv_ref[...] += jnp.sum(dqkv.astype(jnp.float32), axis=0,
+                              keepdims=True)
+    dwproj_ref[...] += jax.lax.dot_general(
+        attn, gm, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)               # (C, C)
+    dbproj_ref[...] += jnp.sum(gm.astype(jnp.float32), axis=0,
+                               keepdims=True)
+
+
+def _attn_train_fwd_impl(x, seeds, mask, ln_w, ln_b, wqkv, bqkv, wproj,
+                         bproj, H: int, scale: float, eps: float,
+                         p: float):
+    B, S, C = x.shape
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+    dt = x.dtype
+    wqkv_c, wproj_c = wqkv.astype(dt), wproj.astype(dt)
+    const2 = lambda b: (0, 0)  # noqa: E731
+    row = lambda b: (b, 0, 0)  # noqa: E731
+
+    out = pl.pallas_call(
+        functools.partial(_attn_train_kernel, H=H, scale=scale,
+                          eps=eps, p=p),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, S_pad, C), row,
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * S_pad * C * (4 * C) + 4 * B * C * S_pad * S_pad,
+            bytes_accessed=(2 * B * S_pad * C + 4 * C * C)
+            * x.dtype.itemsize,
+            transcendentals=B * 12 * S_pad * S_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(seeds, x, bias, ln_w, ln_b, wqkv_c, bqkv, wproj_c, bproj)
+    return out[:, :S, :]
+
+
+def _attn_train_bwd_impl(x, seeds, mask, ln_w, ln_b, wqkv, bqkv, wproj,
+                         g, H: int, scale: float, eps: float, p: float):
+    B, S, C = x.shape
+    S_pad = _round_up(S, _S_ALIGN)
+    if S_pad != S:
+        x = jnp.pad(x, [(0, 0), (0, S_pad - S), (0, 0)])
+        g = jnp.pad(g, [(0, 0), (0, S_pad - S), (0, 0)])
+        mask = jnp.pad(mask, [(0, 0), (0, S_pad - S)])
+    bias = jnp.where(mask > 0, 0.0, _NEG_INF).astype(jnp.float32)[:, None, :]
+    dt = x.dtype
+    wqkv_c, wproj_c = wqkv.astype(dt), wproj.astype(dt)
+    const2 = lambda b: (0, 0)  # noqa: E731
+    row = lambda b: (b, 0, 0)  # noqa: E731
+
+    dx, dlnw, dlnb, dwqkv, dbqkv, dwproj, dbproj = pl.pallas_call(
+        functools.partial(_attn_train_bwd_kernel, H=H, scale=scale,
+                          eps=eps, p=p),
+        grid=(B,),
+        in_specs=[
+            pl.BlockSpec((B,), lambda b: (0,),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, S_pad), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 * C,), lambda b: (0,),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3 * C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, C), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+            jax.ShapeDtypeStruct((C, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((1, 3 * C), jnp.float32),
+            jax.ShapeDtypeStruct((C, C), jnp.float32),
+            jax.ShapeDtypeStruct((1, C), jnp.float32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=14 * B * S_pad * C * 4 * C,
+            bytes_accessed=3 * B * S_pad * C * x.dtype.itemsize,
+            transcendentals=B * 12 * S_pad * S_pad,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=_interpret(),
+    )(seeds, x, bias, ln_w, ln_b, wqkv_c, wproj_c, bqkv, g)
+    return (dx[:, :S, :], dlnw[0], dlnb[0], dwqkv, dbqkv[0], dwproj,
+            dbproj[0])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 10, 11, 12))
+def fused_attn_half_train(x, seeds, mask, ln_w, ln_b, wqkv, bqkv,
+                          wproj, bproj, H: int, scale: float,
+                          eps: float, p: float):
+    """x + drop_p(proj(attention(qkv(LN1(x))))) — the COMPLETE training
+    attention half of a block (reference vision_transformer.py:309-332,
+    proj_drop included) as one Pallas kernel each way.  The backward
+    accumulates all six weight grads in VMEM across the B grid, so
+    neither the S² tensors nor any (S, 5C) weight-grad intermediate
+    ever reaches HBM.  seeds: one int32 per sample (the per-layer
+    dropout RNG — the mask stream is the Mosaic PRNG, PARITY #19/#20).
+    Needs the raised scoped-vmem limit (core/tpu_env.py) like
+    fused_mlp_half_train."""
+    return _attn_train_fwd_impl(x, seeds, mask, ln_w, ln_b, wqkv, bqkv,
+                                wproj, bproj, H, scale, eps, p)
+
+
+def _attn_train_vjp_fwd(x, seeds, mask, ln_w, ln_b, wqkv, bqkv, wproj,
+                        bproj, H, scale, eps, p):
+    out = _attn_train_fwd_impl(x, seeds, mask, ln_w, ln_b, wqkv, bqkv,
+                               wproj, bproj, H, scale, eps, p)
+    return out, (x, seeds, mask, ln_w, ln_b, wqkv, bqkv, wproj)
+
+
+def _attn_train_vjp_bwd(H, scale, eps, p, res, g):
+    x, seeds, mask, ln_w, ln_b, wqkv, bqkv, wproj = res
+    dx, dlnw, dlnb, dwqkv, dbqkv, dwproj, dbproj = _attn_train_bwd_impl(
+        x, seeds, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
+        H, scale, eps, p)
+    return (dx, None, None, dlnw, dlnb, dwqkv, dbqkv, dwproj, dbproj)
+
+
+fused_attn_half_train.defvjp(_attn_train_vjp_fwd, _attn_train_vjp_bwd)
