@@ -59,6 +59,7 @@ def _round_up(x: int, m: int) -> int:
 # ------------------------------------------------------------------ kernel
 def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
                        bqkv_ref, wproj_ref, bproj_ref, o_ref,
+                       qkv_out_ref=None,
                        *, H: int, scale: float, eps: float,
                        residual: bool = False):
     x = x_ref[0]                        # (S, C) activation dtype
@@ -81,7 +82,12 @@ def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     # head split WITHOUT lane-dim reshapes (Mosaic rejects splitting the
     # minor dim): transpose to (3C, S), then split the SUBLANE dim into
     # (3, H, D, S) — q/k/v land in (H, D, S) layout
-    qkv_t = qkv.T.reshape(3, H, D, S)
+    qkv_T = qkv.T                       # (3C, S)
+    if qkv_out_ref is not None:
+        # saved for the backward kernel (save_qkv=True): skips the qkv
+        # recompute matmul there — already in the (3C, S) bwd layout
+        qkv_out_ref[0] = qkv_T
+    qkv_t = qkv_T.reshape(3, H, D, S)
     q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
 
     # scores[h,s,t] = sum_d q[h,d,s] k[h,d,t]
@@ -112,7 +118,7 @@ def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
 
 def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
               H: int, scale: float, eps: float,
-              residual: bool = False):
+              residual: bool = False, save_qkv: bool = False):
     B, S, C = x.shape
     S_pad = _round_up(S, _S_ALIGN)
     if S_pad != S:
@@ -126,6 +132,16 @@ def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
     wqkv_c, wproj_c = wqkv.astype(dt), wproj.astype(dt)
 
     const2 = lambda b: (0, 0)  # noqa: E731  (weights: VMEM-resident)
+
+    out_specs = pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B, S_pad, C), x.dtype)
+    if save_qkv:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, 3 * C, S_pad), lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B, 3 * C, S_pad), x.dtype))
 
     out = pl.pallas_call(
         functools.partial(_half_block_kernel, H=H, scale=scale, eps=eps,
@@ -144,9 +160,8 @@ def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
             pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, S_pad, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=2 * B * S_pad * C * (4 * C) + 4 * B * (C // 1) * S_pad * S_pad,
             bytes_accessed=(2 * B * S_pad * C + 4 * C * C) * x.dtype.itemsize,
@@ -158,6 +173,8 @@ def _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, bias, ln_w, ln_b, wqkv_c, bqkv, wproj_c, bproj)
+    if save_qkv:
+        return out[0][:, :S, :], out[1]
     return out[:, :S, :]
 
 
@@ -191,11 +208,16 @@ def _xla_twin(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
 
 # ---------------------------------------------------------- bwd kernel
 def _attn_bwd_math(x, bias, lnw, lnb, wqkv, wproj, bqkv, g,
-                   H: int, scale: float, eps: float):
+                   H: int, scale: float, eps: float, qkv_t_saved=None):
     """Shared per-sample backward math (traced inside both bwd kernels):
     recomputes y/qkv/p remat-style, then the data gradients.  Returns
     everything either kernel variant may need; Mosaic dead-code
-    -eliminates the unwritten results in the dx-only kernel."""
+    -eliminates the unwritten results in the dx-only kernel.
+
+    qkv_t_saved: the fwd kernel's (3C, S) qkv (bit-identical bf16
+    layout saved via save_qkv=True) — skips the 2·S·C·3C-FLOP qkv
+    recompute matmul; HBM cost of the save is below the MXU cost of
+    the recompute at ViLT shapes (ROADMAP round-3)."""
     S, C = x.shape
     D = C // H
 
@@ -209,10 +231,13 @@ def _attn_bwd_math(x, bias, lnw, lnb, wqkv, wproj, bqkv, g,
     y = xhat * lnw + lnb
     y = y.astype(x.dtype)
 
-    qkv = jnp.dot(y, wqkv,
-                  preferred_element_type=jnp.float32).astype(x.dtype)
-    qkv = qkv + bqkv.astype(x.dtype)
-    qkv_t = qkv.T.reshape(3, H, D, S)
+    if qkv_t_saved is not None:
+        qkv_t = qkv_t_saved.reshape(3, H, D, S)
+    else:
+        qkv = jnp.dot(y, wqkv,
+                      preferred_element_type=jnp.float32).astype(x.dtype)
+        qkv = qkv + bqkv.astype(x.dtype)
+        qkv_t = qkv.T.reshape(3, H, D, S)
     q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
 
     scores = jax.lax.dot_general(
@@ -314,6 +339,22 @@ def _half_block_dx_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     dx_ref[0] = dx.astype(dx_ref.dtype)
 
 
+def _half_block_dx_saved_kernel(x_ref, bias_ref, lnw_ref, lnb_ref,
+                                wqkv_ref, wproj_ref, bqkv_ref, g_ref,
+                                qkvt_ref, dx_ref,
+                                *, H: int, scale: float, eps: float,
+                                residual: bool = False):
+    """_half_block_dx_kernel consuming the forward-saved (3C, S) qkv —
+    skips the qkv recompute matmul (save_qkv=True path)."""
+    dx, *_ = _attn_bwd_math(
+        x_ref[0], bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
+        wproj_ref[:], bqkv_ref[:], g_ref[0], H, scale, eps,
+        qkv_t_saved=qkvt_ref[0])
+    if residual:
+        dx = dx + g_ref[0].astype(jnp.float32)
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
 def _bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
               H: int, scale: float, eps: float):
     B, S, C = x.shape
@@ -391,7 +432,7 @@ def _bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, g,
 
 def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
                  H: int, scale: float, eps: float,
-                 residual: bool = False):
+                 residual: bool = False, qkv_saved=None):
     B, S, C = x.shape
     S_pad = _round_up(S, _S_ALIGN)
     if S_pad != S:
@@ -405,21 +446,31 @@ def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
     const2 = lambda b: (0, 0)  # noqa: E731
     row = lambda b: (b, 0, 0)  # noqa: E731
 
+    in_specs = [
+        pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, S_pad), row, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((3 * C,), lambda b: (0,),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
+    ]
+    args = [x, bias, ln_w, ln_b, wqkv_c, wproj_c, bqkv, g]
+    if qkv_saved is not None:
+        kern = _half_block_dx_saved_kernel
+        in_specs.append(pl.BlockSpec((1, 3 * C, S_pad), row,
+                                     memory_space=pltpu.VMEM))
+        args.append(qkv_saved)
+    else:
+        kern = _half_block_dx_kernel
+
     dx = pl.pallas_call(
-        functools.partial(_half_block_dx_kernel, H=H, scale=scale,
+        functools.partial(kern, H=H, scale=scale,
                           eps=eps, residual=residual),
         grid=(B,),
-        in_specs=[
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, S_pad), row, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((3 * C,), lambda b: (0,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, S_pad, C), row, memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, S_pad, C), row,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, S_pad, C), x.dtype),
@@ -431,7 +482,7 @@ def _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, bias, ln_w, ln_b, wqkv_c, wproj_c, bqkv, g)
+    )(*args)
     return dx[:, :S, :]
 
 
@@ -462,7 +513,7 @@ def _erf32(x):
         1.421413741 + t * (-1.453152027 + t * 1.061405429))))
     return sign * (1.0 - poly * jnp.exp(-ax * ax))
 def _mlp_half_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
-                     b2_ref, o_ref, *, eps: float,
+                     b2_ref, o_ref, h_out_ref=None, *, eps: float,
                      residual: bool = False):
     """LN2 + fc1 + exact-erf gelu + fc2 for one sample, weights
     VMEM-resident across the B grid.  The (S, 4C) intermediate never
@@ -478,6 +529,10 @@ def _mlp_half_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
     h = jnp.dot(y, w1_ref[:],
                 preferred_element_type=jnp.float32).astype(x.dtype)
     h = h + b1_ref[:].astype(x.dtype)
+    if h_out_ref is not None:
+        # saved for the backward kernel (save_h=True): skips the fc1
+        # recompute matmul there
+        h_out_ref[0] = h
     # exact-erf gelu (models/layers.py:gelu) in fp32 via _erf32
     h32 = h.astype(jnp.float32)
     a = (0.5 * h32 * (1.0 + _erf32(h32 * (2.0 ** -0.5)))
@@ -489,7 +544,7 @@ def _mlp_half_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, b1_ref, w2_ref,
 
 
 def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
-                  residual: bool = False):
+                  residual: bool = False, save_h: bool = False):
     B, S, C = x.shape
     C4 = w1.shape[1]
     S_pad = _round_up(S, _S_ALIGN)
@@ -502,6 +557,18 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
     const2 = lambda b: (0, 0)  # noqa: E731  (weights: VMEM-resident)
     BB = _mlp_block_b(B)
     x = x.reshape(B // BB, BB * S_pad, C)
+
+    out_specs = pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((B // BB, BB * S_pad, C), x.dtype)
+    if save_h:
+        out_specs = (out_specs,
+                     pl.BlockSpec((1, BB * S_pad, C4),
+                                  lambda b: (b, 0, 0),
+                                  memory_space=pltpu.VMEM))
+        out_shape = (out_shape,
+                     jax.ShapeDtypeStruct((B // BB, BB * S_pad, C4),
+                                          x.dtype))
 
     out = pl.pallas_call(
         functools.partial(_mlp_half_kernel, eps=eps, residual=residual),
@@ -516,9 +583,8 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
             pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
             pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, BB * S_pad, C), lambda b: (b, 0, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B // BB, BB * S_pad, C), x.dtype),
+        out_specs=out_specs,
+        out_shape=out_shape,
         cost_estimate=pl.CostEstimate(
             flops=4 * B * S_pad * C * C4,
             bytes_accessed=(2 * B * S_pad * C + 2 * C * C4)
@@ -531,11 +597,23 @@ def _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
     )(x, ln_w, ln_b, w1_c, b1, w2_c, b2)
+    if save_h:
+        return out[0].reshape(B, S_pad, C)[:, :S, :], out[1]
     return out.reshape(B, S_pad, C)[:, :S, :]
 
 
+def _mlp_dx_saved_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref,
+                         b1_ref, g_ref, h_ref, dx_ref, *, eps: float,
+                         residual: bool = False):
+    """_mlp_dx_kernel consuming the forward-saved h (save_h=True) —
+    positional wrapper so the extra INPUT precedes the output ref."""
+    _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
+                   g_ref, dx_ref, h_ref=h_ref, eps=eps,
+                   residual=residual)
+
+
 def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
-                   g_ref, dx_ref, *, eps: float,
+                   g_ref, dx_ref, h_ref=None, *, eps: float,
                    residual: bool = False):
     """Per-sample dx-only backward: recomputes y/h in VMEM (remat-style)
     then walks the chain back — the (S, 4C) intermediates never touch
@@ -543,7 +621,10 @@ def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
     custom_vjp derives them from a separate XLA twin that XLA dead-code
     -eliminates whenever only input grads are requested (PGD
     attacks/pgd.py and the greedy commit-loop grad pass — the only
-    production paths that differentiate a deterministic forward)."""
+    production paths that differentiate a deterministic forward).
+
+    h_ref: the forward-saved pre-gelu fc1 output (save_h=True) —
+    skips the fc1 recompute matmul."""
     x = x_ref[0]                        # (S, C)
     g = g_ref[0]
     # ---- recompute forward to h (identical math to _mlp_half_kernel)
@@ -555,9 +636,12 @@ def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
     xhat = xc * rstd
     lnw = lnw_ref[:]
     y = (xhat * lnw + lnb_ref[:]).astype(x.dtype)
-    h = jnp.dot(y, w1_ref[:],
-                preferred_element_type=jnp.float32).astype(x.dtype)
-    h = h + b1_ref[:].astype(x.dtype)
+    if h_ref is not None:
+        h = h_ref[0]
+    else:
+        h = jnp.dot(y, w1_ref[:],
+                    preferred_element_type=jnp.float32).astype(x.dtype)
+        h = h + b1_ref[:].astype(x.dtype)
 
     # ---- backward
     # da = g @ W2^T, transpose-free: (W2 @ g^T) = (4C, S)
@@ -583,7 +667,7 @@ def _mlp_dx_kernel(x_ref, lnw_ref, lnb_ref, w1_ref, w2_ref, b1_ref,
 
 
 def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float,
-                 residual: bool = False):
+                 residual: bool = False, h_saved=None):
     B, S, C = x.shape
     C4 = w1.shape[1]
     S_pad = _round_up(S, _S_ALIGN)
@@ -598,20 +682,30 @@ def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float,
     x = x.reshape(B // BB, BB * S_pad, C)
     g = g.reshape(B // BB, BB * S_pad, C)
 
+    in_specs = [
+        pl.BlockSpec((1, BB * S_pad, C), row,
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
+        pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, BB * S_pad, C), row,
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [x, ln_w, ln_b, w1_c, w2_c, b1, g]
+    if h_saved is not None:
+        kern = _mlp_dx_saved_kernel
+        in_specs.append(pl.BlockSpec((1, BB * S_pad, C4), row,
+                                     memory_space=pltpu.VMEM))
+        args.append(h_saved)
+    else:
+        kern = _mlp_dx_kernel
+
     dx = pl.pallas_call(
-        functools.partial(_mlp_dx_kernel, eps=eps, residual=residual),
+        functools.partial(kern, eps=eps, residual=residual),
         grid=(B // BB,),
-        in_specs=[
-            pl.BlockSpec((1, BB * S_pad, C), row,
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C,), lambda b: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((C, C4), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C4, C), const2, memory_space=pltpu.VMEM),
-            pl.BlockSpec((C4,), lambda b: (0,), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BB * S_pad, C), row,
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, BB * S_pad, C), row,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B // BB, BB * S_pad, C),
@@ -625,7 +719,7 @@ def _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps: float,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=_interpret(),
-    )(x, ln_w, ln_b, w1_c, w2_c, b1, g)
+    )(*args)
     return dx.reshape(B, S_pad, C)[:, :S, :]
 
 
@@ -1020,13 +1114,19 @@ def fused_mlp_half(x, ln_w, ln_b, w1, b1, w2, b2, eps: float,
 
 
 def _mlp_vjp_fwd(x, ln_w, ln_b, w1, b1, w2, b2, eps, residual):
-    out = _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps,
-                        residual=residual)
-    return out, (x, ln_w, ln_b, w1, b1, w2, b2)
+    if _save_for_bwd():
+        out, h_saved = _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2,
+                                     eps, residual=residual,
+                                     save_h=True)
+    else:
+        out = _mlp_fwd_impl(x, ln_w, ln_b, w1, b1, w2, b2, eps,
+                            residual=residual)
+        h_saved = None
+    return out, (x, ln_w, ln_b, w1, b1, w2, b2, h_saved)
 
 
 def _mlp_vjp_bwd(eps, residual, res, g):
-    x, ln_w, ln_b, w1, b1, w2, b2 = res
+    x, ln_w, ln_b, w1, b1, w2, b2, h_saved = res
     # weight grads: d(x + f)/dw == df/dw — twin stays residual-free
     _, pullback = jax.vjp(
         lambda x_, lw, lb, a1, c1, a2, c2: _mlp_twin(
@@ -1037,7 +1137,7 @@ def _mlp_vjp_bwd(eps, residual, res, g):
         dx = dx_t + g if residual else dx_t
     else:
         dx = _mlp_dx_impl(x, ln_w, ln_b, w1, b1, w2, g, eps,
-                          residual=residual)
+                          residual=residual, h_saved=h_saved)
     return dx, dlw, dlb, dw1, db1, dw2, db2
 
 
@@ -1103,15 +1203,33 @@ def fused_attn_half_det(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
                      H, scale, eps, residual=residual)
 
 
+def _save_for_bwd() -> bool:
+    """save_qkv / save_h between the det fwd and bwd kernels.
+    MEASURED AND REJECTED at ViLT-B b16 on v5e (ROADMAP round-3):
+    154.2 vs 147.3 ms step — the step is HBM-bound, so the saved
+    tensors' round trips cost more than the MXU recompute they
+    replace, same physics as the remat-ON-inside-PGD result of
+    round 2.  Default OFF; RMCL_BLOCK_SAVE=1 re-enables for A/B on
+    other shapes (larger C/S shift the balance toward saving)."""
+    return os.environ.get("RMCL_BLOCK_SAVE", "0") == "1"
+
+
 def _det_vjp_fwd(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
                  H, scale, eps, residual):
-    out = _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
-                    H, scale, eps, residual=residual)
-    return out, (x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj)
+    if _save_for_bwd():
+        out, qkv_saved = _fwd_impl(
+            x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+            H, scale, eps, residual=residual, save_qkv=True)
+    else:
+        out = _fwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                        H, scale, eps, residual=residual)
+        qkv_saved = None
+    return out, (x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj,
+                 qkv_saved)
 
 
 def _det_vjp_bwd(H, scale, eps, residual, res, g):
-    x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj = res
+    x, mask, ln_w, ln_b, wqkv, bqkv, wproj, bproj, qkv_saved = res
     # weight grads: d(x + f)/dw == df/dw, so the twin needs no residual
     _, pullback = jax.vjp(
         lambda lw, lb, wq, bq, wp, bp: _xla_twin(
@@ -1119,7 +1237,8 @@ def _det_vjp_bwd(H, scale, eps, residual, res, g):
         ln_w, ln_b, wqkv, bqkv, wproj, bproj)
     dlw, dlb, dwq, dbq, dwp, dbp = pullback(g)
     dx = _dx_bwd_impl(x, mask, ln_w, ln_b, wqkv, bqkv, wproj, g,
-                      H, scale, eps, residual=residual)
+                      H, scale, eps, residual=residual,
+                      qkv_saved=qkv_saved)
     return dx, None, dlw, dlb, dwq, dbq, dwp, dbp
 
 
