@@ -30,46 +30,57 @@ def _needs(cfg: RMCLConfig, name: str) -> bool:
     return cfg.loss_names.get(name, 0) > 0
 
 
-def _derive_attn_impl(cfg: RMCLConfig) -> str:
-    """cfg.attention_impl="" derives the measured-best implementation:
-    the fused LN1+qkv+attention+proj Pallas half-block kernel
-    (ops/pallas_block.py) on a SINGLE TPU chip (b16 197.3 ms vs 199.3
-    xla_bf16; b64 773 vs 891 — kills the b64 droop; attack hot path
-    782 -> 670 ms), else "" (-> xla_bf16 on TPU inside masked_attention,
-    plain xla elsewhere).  Multi-device meshes keep the XLA path:
-    pallas_call is an opaque custom call to pjit's partitioner, so the
-    kernel would not shard over the batch grid."""
-    if cfg.attention_impl:
-        return cfg.attention_impl
+def _pure_dp(mesh) -> bool:
+    """True when every non-"data" mesh axis has size 1 — the layout
+    where the per-sample transformer can run per-shard (no tensor
+    parallelism splitting C/heads across devices)."""
+    if mesh is None:
+        return False
+    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
+    return all(v == 1 for a, v in sizes.items() if a != "data")
+
+
+def _kernels_ok(cfg: RMCLConfig, mesh) -> bool:
+    """The fused Pallas half-block kernels engage on TPU when either a
+    single chip is in play, or a pure-DP Mesh object is provided (the
+    transformer then runs per-shard via jax.shard_map — see
+    models/vit.py:transformer_apply).  Multi-device WITHOUT a mesh
+    object, or with a model axis, keeps the XLA path: pallas_call is
+    an opaque custom call to pjit's partitioner."""
     import math
     try:
         on_tpu = jax.default_backend() == "tpu"
     except Exception:
         on_tpu = False
-    if (on_tpu and cfg.block_layout == "3d"
-            and math.prod(cfg.mesh_shape) == 1):
-        return "fused"
-    return ""
+    if not (on_tpu and cfg.block_layout == "3d"):
+        return False
+    return math.prod(cfg.mesh_shape) == 1 or _pure_dp(mesh)
 
 
-def _derive_mlp_impl(cfg: RMCLConfig) -> str:
+def _derive_attn_impl(cfg: RMCLConfig, mesh=None) -> str:
+    """cfg.attention_impl="" derives the measured-best implementation:
+    the fused LN1+qkv+attention+proj Pallas half-block kernel
+    (ops/pallas_block.py) on a single TPU chip or a pure-DP mesh
+    (b16 197.3 ms vs 199.3 xla_bf16; b64 773 vs 891 — kills the b64
+    droop; attack hot path 782 -> 670 ms), else "" (-> xla_bf16 on TPU
+    inside masked_attention, plain xla elsewhere)."""
+    if cfg.attention_impl:
+        return cfg.attention_impl
+    return "fused" if _kernels_ok(cfg, mesh) else ""
+
+
+def _derive_mlp_impl(cfg: RMCLConfig, mesh=None) -> str:
     """Same derivation as _derive_attn_impl: the fused LN2+fc1+gelu+fc2
-    Pallas kernel (ops/pallas_block.py) on a single TPU chip.
+    Pallas kernel (ops/pallas_block.py).
     "fused_train" (in-kernel-dropout variant that ALSO covers the
-    training views, +1.2% step) needs the raised scoped-vmem limit for
-    its VMEM weight-grad accumulators, so it is only derived when the
-    entry point installed the LIBTPU flag (core/tpu_env.py); otherwise
+    training views) needs the raised scoped-vmem limit for its VMEM
+    weight-grad accumulators, so it is only derived when the entry
+    point installed the LIBTPU flag (core/tpu_env.py); otherwise
     "fused" covers the deterministic forwards (PGD, key encoder,
     candidate scoring, eval) and the views keep the XLA MLP."""
     if cfg.mlp_impl:
         return cfg.mlp_impl
-    import math
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if (on_tpu and cfg.block_layout == "3d"
-            and math.prod(cfg.mesh_shape) == 1):
+    if _kernels_ok(cfg, mesh):
         from rmcl_tpu.core.tpu_env import scoped_vmem_flag_active
         return "fused_train" if scoped_vmem_flag_active() else "fused"
     return ""
@@ -101,10 +112,16 @@ def _derive_remat(cfg: RMCLConfig, attn_impl: str, mlp_impl: str) -> bool:
     return not (attn_impl == "fused" and mlp_impl == "fused_train")
 
 
-def make_spec(cfg: RMCLConfig) -> ViTSpec:
-    attn_impl = _derive_attn_impl(cfg)
-    mlp_impl = _derive_mlp_impl(cfg)
+def make_spec(cfg: RMCLConfig, mesh=None) -> ViTSpec:
+    attn_impl = _derive_attn_impl(cfg, mesh)
+    mlp_impl = _derive_mlp_impl(cfg, mesh)
+    shard_mesh = None
+    if (mesh is not None and _pure_dp(mesh) and mesh.devices.size > 1
+            and (attn_impl == "fused"
+                 or mlp_impl in ("fused", "fused_train"))):
+        shard_mesh = mesh
     return ViTSpec(
+        shard_mesh=shard_mesh,
         hidden_size=cfg.hidden_size,
         num_heads=cfg.num_heads,
         num_layers=cfg.num_layers,
@@ -275,11 +292,15 @@ def infer(params, batch, *, cfg: RMCLConfig, spec: Optional[ViTSpec] = None,
 
 
 class ViLTModel:
-    """Thin convenience wrapper binding a config to the pure functions."""
+    """Thin convenience wrapper binding a config to the pure functions.
 
-    def __init__(self, cfg: RMCLConfig):
+    ``mesh``: a pure-DP Mesh routes the transformer through the fused
+    Pallas kernels per-shard (jax.shard_map) instead of the XLA block
+    path — see make_spec/_kernels_ok."""
+
+    def __init__(self, cfg: RMCLConfig, mesh=None):
         self.cfg = cfg
-        self.spec = make_spec(cfg)
+        self.spec = make_spec(cfg, mesh)
 
     def init(self, rng):
         return init_vilt(rng, self.cfg)

@@ -60,6 +60,11 @@ class ViTSpec(NamedTuple):
     mlp_impl: str = ""          # "" | "xla" | "fused" (LN2+fc1+gelu+fc2
                                 #   Pallas kernel, deterministic paths
                                 #   only — ops/pallas_block.py)
+    shard_mesh: Any = None      # pure-DP Mesh: run the fused kernels
+                                # per-shard via jax.shard_map over the
+                                # "data" axis (pallas_call is opaque to
+                                # pjit's partitioner, so without this
+                                # multi-chip meshes fell back to XLA)
 
     @property
     def patch_dim(self) -> int:
@@ -551,6 +556,18 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
                       deterministic: bool = True):
     """Run all blocks via lax.scan over stacked params, then final norm.
 
+    With ``spec.shard_mesh`` (a pure-DP mesh), the whole stack runs
+    per-shard under ``jax.shard_map`` over the "data" axis: the
+    transformer is per-sample, so the body needs no collectives, each
+    device runs the single-chip fused Pallas kernels on its local
+    batch shard, and shard_map's transpose inserts the psum over the
+    replicated params' cotangent (the DP gradient reduction XLA used
+    to derive from shardings).  Per-shard dropout streams fold in
+    ``axis_index("data")``.  Batches not divisible by the data axis
+    (e.g. the greedy attack's compact stages) fall back to the XLA
+    block path under plain pjit — numerics are bf16-rounding-level
+    either way (PARITY #19).
+
     With a fused Pallas half-block kernel active, the residual stream is
     padded to the kernels' 128-row alignment ONCE here and sliced back
     after the scan, instead of every pallas_call padding its input and
@@ -559,6 +576,38 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
     attention (mask 0 ⇒ -inf key bias), and all other ops are row-local,
     so the first S rows are IDENTICAL to the unpadded run; the junk rows
     are dropped by the slice."""
+    if spec.shard_mesh is not None:
+        mesh = spec.shard_mesh
+        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
+            "data", 1)
+        inner = spec._replace(shard_mesh=None)
+        if n_data > 1 and x.shape[0] % n_data == 0:
+            from jax.sharding import PartitionSpec as P
+
+            def body(params_, x_, mask_, rng_):
+                if rng_ is not None:
+                    rng_ = jax.random.fold_in(
+                        rng_, jax.lax.axis_index("data"))
+                return transformer_apply(params_, x_, mask_, spec=inner,
+                                         rng=rng_,
+                                         deterministic=deterministic)
+
+            if rng is None:
+                return jax.shard_map(
+                    lambda p, xx, mm: body(p, xx, mm, None), mesh=mesh,
+                    in_specs=(P(), P("data"), P("data")),
+                    out_specs=P("data"), check_vma=False)(params, x, mask)
+            return jax.shard_map(
+                body, mesh=mesh,
+                in_specs=(P(), P("data"), P("data"), P()),
+                out_specs=P("data"), check_vma=False)(params, x, mask, rng)
+        # non-divisible (or 1-device) fallback: XLA block path under
+        # plain pjit — the kernels would force gathers there
+        spec = inner._replace(
+            attn_impl="" if inner.attn_impl == "fused" else inner.attn_impl,
+            mlp_impl="" if inner.mlp_impl in ("fused", "fused_train")
+            else inner.mlp_impl)
+
     layer_rngs = (jax.random.split(rng, spec.num_layers)
                   if rng is not None else None)
 

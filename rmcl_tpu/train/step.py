@@ -70,7 +70,7 @@ def create_train_state(rng, cfg: RMCLConfig,
     `accumulate_grad_batches`, run.py:86-88,105): the optimizer applies
     one averaged update every `accum` micro-batches; `max_steps` counts
     optimizer steps."""
-    model = ViLTModel(cfg)
+    model = ViLTModel(cfg, mesh=mesh)
     if params is None:
         params, init_state = init_vilt(rng, cfg)
         state = init_state if state is None else state

@@ -282,3 +282,72 @@ def test_transformer_hoisted_pad_matches_xla():
     assert out.shape == ref.shape == (B, S, C)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                atol=5e-5)
+
+
+def test_shard_map_fused_transformer_matches_xla():
+    """Pure-DP multi-chip path: spec.shard_mesh routes the fused
+    kernels per-shard via jax.shard_map (models/vit.py).  On the
+    8-virtual-device CPU mesh in interpret mode, the deterministic
+    forward and ALL gradients (dx + psum'd replicated-param
+    cotangents) must match the unsharded XLA block path."""
+    from rmcl_tpu.models.vit import ViTSpec, init_vit, transformer_apply
+    from rmcl_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    assert mesh.devices.size == 8
+    C, H, B, S = 32, 4, 8, 23
+    spec = ViTSpec(hidden_size=C, num_heads=H, num_layers=2,
+                   drop_rate=0.0, use_pallas=False, attn_impl="")
+    spec_f = spec._replace(attn_impl="fused", mlp_impl="fused",
+                           shard_mesh=mesh)
+    params = init_vit(jax.random.PRNGKey(0), spec)
+    r = np.random.RandomState(6)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.2).astype(np.int32))
+
+    ref = transformer_apply(params, x, mask, spec=spec,
+                            deterministic=True)
+    out = transformer_apply(params, x, mask, spec=spec_f,
+                            deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5)
+
+    def make_loss(sp):
+        def loss(params, x):
+            o = transformer_apply(params, x, mask, spec=sp,
+                                  deterministic=True)
+            return jnp.sum(o ** 2)
+        return loss
+
+    gp_ref, gx_ref = jax.grad(make_loss(spec), argnums=(0, 1))(params, x)
+    gp_f, gx_f = jax.grad(make_loss(spec_f), argnums=(0, 1))(params, x)
+    np.testing.assert_allclose(np.asarray(gx_f), np.asarray(gx_ref),
+                               atol=2e-4, rtol=1e-4)
+    for (pa, a), (pb, b) in zip(
+            jax.tree_util.tree_leaves_with_path(gp_f),
+            jax.tree_util.tree_leaves_with_path(gp_ref)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-3, rtol=1e-3,
+            err_msg=str(pa))
+
+
+def test_shard_map_fallback_non_divisible_batch():
+    """Batches not divisible by the data axis (greedy compact stages)
+    fall back to the XLA block path — same deterministic numerics."""
+    from rmcl_tpu.models.vit import ViTSpec, init_vit, transformer_apply
+    from rmcl_tpu.parallel.mesh import make_mesh
+    mesh = make_mesh()
+    C, H, B, S = 32, 4, 3, 23          # 3 % 8 != 0
+    spec = ViTSpec(hidden_size=C, num_heads=H, num_layers=2,
+                   drop_rate=0.0, use_pallas=False, attn_impl="")
+    spec_f = spec._replace(attn_impl="fused", mlp_impl="fused",
+                           shard_mesh=mesh)
+    params = init_vit(jax.random.PRNGKey(1), spec)
+    r = np.random.RandomState(7)
+    x = jnp.asarray(r.randn(B, S, C), jnp.float32)
+    mask = jnp.asarray((r.rand(B, S) > 0.2).astype(np.int32))
+    ref = transformer_apply(params, x, mask, spec=spec,
+                            deterministic=True)
+    out = transformer_apply(params, x, mask, spec=spec_f,
+                            deterministic=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               atol=5e-5)
