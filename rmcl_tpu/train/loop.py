@@ -301,9 +301,12 @@ class Trainer:
             from rmcl_tpu.models.vilt import init_vilt
             params, state = init_vilt(jax.random.PRNGKey(cfg.seed), cfg)
             params, state = self._load_initial(params, state)
+        # mesh threading also routes the fused Pallas kernels per-shard
+        # on pure-DP meshes (models/vilt.py make_spec / PARITY #22)
         self.model, self.ts, self.tx = create_train_state(
             jax.random.PRNGKey(cfg.seed), cfg, max_steps=self.max_steps,
-            params=params, state=state, accum=self.accum_steps)
+            params=params, state=state, accum=self.accum_steps,
+            mesh=self.mesh)
         self.greedy = None
         self.text_augment = None
         self.image_augment = None
