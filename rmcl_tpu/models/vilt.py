@@ -36,8 +36,9 @@ def _pure_dp(mesh) -> bool:
     parallelism splitting C/heads across devices)."""
     if mesh is None:
         return False
-    sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
-    return all(v == 1 for a, v in sizes.items() if a != "data")
+    from rmcl_tpu.parallel.mesh import DATA_AXIS
+    return all(v == 1 for a, v in dict(mesh.shape).items()
+               if a != DATA_AXIS)
 
 
 def _kernels_ok(cfg: RMCLConfig, mesh) -> bool:

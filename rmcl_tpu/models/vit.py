@@ -577,9 +577,9 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
     so the first S rows are IDENTICAL to the unpadded run; the junk rows
     are dropped by the slice."""
     if spec.shard_mesh is not None:
+        from rmcl_tpu.parallel.mesh import DATA_AXIS
         mesh = spec.shard_mesh
-        n_data = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-            "data", 1)
+        n_data = dict(mesh.shape).get(DATA_AXIS, 1)
         inner = spec._replace(shard_mesh=None)
         if n_data > 1 and x.shape[0] % n_data == 0:
             from jax.sharding import PartitionSpec as P
@@ -587,7 +587,7 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
             def body(params_, x_, mask_, rng_):
                 if rng_ is not None:
                     rng_ = jax.random.fold_in(
-                        rng_, jax.lax.axis_index("data"))
+                        rng_, jax.lax.axis_index(DATA_AXIS))
                 return transformer_apply(params_, x_, mask_, spec=inner,
                                          rng=rng_,
                                          deterministic=deterministic)
@@ -595,18 +595,24 @@ def transformer_apply(params, x, mask, *, spec: ViTSpec, rng=None,
             if rng is None:
                 return jax.shard_map(
                     lambda p, xx, mm: body(p, xx, mm, None), mesh=mesh,
-                    in_specs=(P(), P("data"), P("data")),
-                    out_specs=P("data"), check_vma=False)(params, x, mask)
+                    in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS)),
+                    out_specs=P(DATA_AXIS),
+                    check_vma=False)(params, x, mask)
             return jax.shard_map(
                 body, mesh=mesh,
-                in_specs=(P(), P("data"), P("data"), P()),
-                out_specs=P("data"), check_vma=False)(params, x, mask, rng)
+                in_specs=(P(), P(DATA_AXIS), P(DATA_AXIS), P()),
+                out_specs=P(DATA_AXIS),
+                check_vma=False)(params, x, mask, rng)
         # non-divisible (or 1-device) fallback: XLA block path under
-        # plain pjit — the kernels would force gathers there
+        # plain pjit — the kernels would force gathers there.  remat
+        # flips back ON: the fused-kernel derivation turned it off,
+        # but the XLA blocks save bias-broadcast fp32 S² residuals
+        # without it (the documented b64 memory blowup)
         spec = inner._replace(
             attn_impl="" if inner.attn_impl == "fused" else inner.attn_impl,
             mlp_impl="" if inner.mlp_impl in ("fused", "fused_train")
-            else inner.mlp_impl)
+            else inner.mlp_impl,
+            remat=True)
 
     layer_rngs = (jax.random.split(rng, spec.num_layers)
                   if rng is not None else None)

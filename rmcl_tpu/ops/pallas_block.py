@@ -57,12 +57,12 @@ def _round_up(x: int, m: int) -> int:
 
 
 # ------------------------------------------------------------------ kernel
-def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
-                       bqkv_ref, wproj_ref, bproj_ref, o_ref,
-                       qkv_out_ref=None,
-                       *, H: int, scale: float, eps: float,
-                       residual: bool = False):
-    x = x_ref[0]                        # (S, C) activation dtype
+def _attn_fwd_math(x, bias, lnw, lnb, wqkv, bqkv, wproj, bproj,
+                   H: int, scale: float, eps: float):
+    """Shared per-sample forward math (traced inside the det AND train
+    forward kernels): LN1 + qkv + attention + proj.  Returns
+    (out, qkv_T) — qkv_T is the (3C, S) transposed qkv for the
+    save_qkv path (Mosaic DCEs it when unwritten)."""
     S, C = x.shape
     D = C // H
 
@@ -71,22 +71,18 @@ def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     mean = jnp.mean(x32, axis=-1, keepdims=True)
     xc = x32 - mean
     var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = (xc * jax.lax.rsqrt(var + eps)) * lnw_ref[:] + lnb_ref[:]
+    y = (xc * jax.lax.rsqrt(var + eps)) * lnw + lnb
     y = y.astype(x.dtype)
 
     # qkv projection: (S, C) @ (C, 3C), full-K MXU contraction
-    qkv = jnp.dot(y, wqkv_ref[:],
+    qkv = jnp.dot(y, wqkv,
                   preferred_element_type=jnp.float32).astype(x.dtype)
-    qkv = qkv + bqkv_ref[:].astype(x.dtype)
+    qkv = qkv + bqkv.astype(x.dtype)
 
     # head split WITHOUT lane-dim reshapes (Mosaic rejects splitting the
     # minor dim): transpose to (3C, S), then split the SUBLANE dim into
     # (3, H, D, S) — q/k/v land in (H, D, S) layout
     qkv_T = qkv.T                       # (3C, S)
-    if qkv_out_ref is not None:
-        # saved for the backward kernel (save_qkv=True): skips the qkv
-        # recompute matmul there — already in the (3C, S) bwd layout
-        qkv_out_ref[0] = qkv_T
     qkv_t = qkv_T.reshape(3, H, D, S)
     q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
 
@@ -94,7 +90,7 @@ def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     scores = jax.lax.dot_general(
         q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32) * scale     # (H, S, S) fp32
-    scores = scores + bias_ref[0][None, :, :]           # key-validity row
+    scores = scores + bias[None, :, :]                  # key-validity row
 
     m = jnp.max(scores, axis=-1, keepdims=True)
     e = jnp.exp(scores - m)
@@ -108,9 +104,24 @@ def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
     # (H, D, S) -> sublane-merge (C, S) -> transpose (S, C)
     attn = attn.reshape(C, S).T
 
-    out = jnp.dot(attn, wproj_ref[:],
+    out = jnp.dot(attn, wproj,
                   preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out + bproj_ref[:].astype(x.dtype)
+    return out + bproj.astype(x.dtype), qkv_T
+
+
+def _half_block_kernel(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref,
+                       bqkv_ref, wproj_ref, bproj_ref, o_ref,
+                       qkv_out_ref=None,
+                       *, H: int, scale: float, eps: float,
+                       residual: bool = False):
+    x = x_ref[0]                        # (S, C) activation dtype
+    out, qkv_T = _attn_fwd_math(
+        x, bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
+        bqkv_ref[:], wproj_ref[:], bproj_ref[:], H, scale, eps)
+    if qkv_out_ref is not None:
+        # saved for the backward kernel (save_qkv=True): skips the qkv
+        # recompute matmul there — already in the (3C, S) bwd layout
+        qkv_out_ref[0] = qkv_T
     # post-attention residual fused in (x is already VMEM-resident) —
     # saves the separate XLA add's full-tensor HBM round trip per block
     o_ref[0] = (x + out) if residual else out
@@ -909,7 +920,7 @@ def _mlp_train_fwd_impl(x, seeds, ln_w, ln_b, w1, b1, w2, b2,
                  w2_ref, b2_ref, o_ref, mask_ref):
             _mlp_train_kernel(seed_ref, x_ref, lnw_ref, lnb_ref, w1_ref,
                               b1_ref, w2_ref, b2_ref, o_ref, p=p,
-                              eps=eps, mask_ref=mask_ref)
+                              eps=eps, mask_ref=mask_ref, tail=tail)
     res = pl.pallas_call(
         kern,
         grid=(B // BB,),
@@ -1255,39 +1266,13 @@ def _attn_train_kernel(seed_ref, x_ref, bias_ref, lnw_ref, lnb_ref,
     backward kernel reseeds to regenerate the identical mask (PARITY
     #19/#20 precedent: dropout impls own their stream)."""
     x = x_ref[0]
-    S, C = x.shape
-    D = C // H
     pltpu.prng_seed(seed_ref[pl.program_id(0)])
     bits = jax.lax.bitcast_convert_type(
         pltpu.prng_random_bits(x.shape), jnp.uint32)
     keep = bits >= jnp.uint32(_keep_threshold(p))
-
-    x32 = x.astype(jnp.float32)
-    mean = jnp.mean(x32, axis=-1, keepdims=True)
-    xc = x32 - mean
-    var = jnp.mean(xc * xc, axis=-1, keepdims=True)
-    y = (xc * jax.lax.rsqrt(var + eps)) * lnw_ref[:] + lnb_ref[:]
-    y = y.astype(x.dtype)
-    qkv = jnp.dot(y, wqkv_ref[:],
-                  preferred_element_type=jnp.float32).astype(x.dtype)
-    qkv = qkv + bqkv_ref[:].astype(x.dtype)
-    qkv_t = qkv.T.reshape(3, H, D, S)
-    q, k, v = qkv_t[0], qkv_t[1], qkv_t[2]
-    scores = jax.lax.dot_general(
-        q, k, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32) * scale
-    scores = scores + bias_ref[0][None, :, :]
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    pr = e / jnp.sum(e, axis=-1, keepdims=True)
-    attn = jax.lax.dot_general(
-        v, pr.astype(x.dtype),
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32).astype(x.dtype)
-    attn = attn.reshape(C, S).T
-    out = jnp.dot(attn, wproj_ref[:],
-                  preferred_element_type=jnp.float32).astype(x.dtype)
-    out = out + bproj_ref[:].astype(x.dtype)
+    out, _ = _attn_fwd_math(
+        x, bias_ref[0], lnw_ref[:], lnb_ref[:], wqkv_ref[:],
+        bqkv_ref[:], wproj_ref[:], bproj_ref[:], H, scale, eps)
     out = jnp.where(keep, out * (1.0 / (1.0 - p)), 0.0).astype(x.dtype)
     o_ref[0] = x + out
 

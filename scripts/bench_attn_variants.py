@@ -160,8 +160,6 @@ def main():
 
     for name, kern in (("v2 yT+wqkvT", kernel_v2),
                        ("v3 +proj dg", kernel_v3)):
-        out_ref = call_variant(kernel_v2, x, bias, lnw, lnb, wqkv_t,
-                               bqkv, wproj, bproj)
         per, n = bench_prog(chain(lambda a: call_variant(
             kern, a, bias, lnw, lnb, wqkv_t, bqkv, wproj, bproj)), x)
         print(f"  {name}  {per * 1e3:7.3f} ms  "
