@@ -260,3 +260,36 @@ def test_patch_row_layout_matches_hwc(tiny_cfg, rng):
         max_image_len=-1, mask_it=True, rng=jax.random.PRNGKey(3),
         deterministic=True, dtype=jnp.float32, grid_hw=cfg.grid_hw)
     np.testing.assert_array_equal(np.asarray(lab1), np.asarray(lab2))
+
+
+# ----------------------------------------------- impl/remat derivations
+def test_spec_derivations_mesh_routing():
+    """make_spec derivation matrix (models/vilt.py): kernels + shard
+    mesh on pure-DP meshes, XLA + remat elsewhere.  On CPU the impls
+    derive "" (kernels are TPU-only), so explicit impls probe the
+    mesh-routing and remat logic."""
+    from rmcl_tpu.core.config import build_config
+    from rmcl_tpu.models.vilt import _derive_remat, make_spec
+    from rmcl_tpu.parallel.mesh import make_mesh
+
+    cfg = build_config("task_moco")
+    # CPU: no kernels derived, no shard mesh, remat derived off
+    spec = make_spec(cfg)
+    assert spec.attn_impl == "" and spec.mlp_impl == ""
+    assert spec.shard_mesh is None and spec.remat is False
+
+    # explicit fused impls + pure-DP mesh -> shard_mesh set
+    mesh = make_mesh()
+    cfg_f = cfg.replace(attention_impl="fused", mlp_impl="fused")
+    spec_f = make_spec(cfg_f, mesh)
+    assert spec_f.shard_mesh is mesh
+
+    # model-axis mesh (tensor parallel): kernels must NOT shard-wrap
+    tp = make_mesh(shape=(4, 2), axis_names=("data", "model"))
+    assert make_spec(cfg_f, tp).shard_mesh is None
+
+    # explicit remat_blocks always wins over derivation
+    assert make_spec(cfg.replace(remat_blocks=True)).remat is True
+    # fully-fused single-chip derivation turns remat off; any other
+    # combination keeps it on-TPU (exercise the pure function directly)
+    assert _derive_remat(cfg, "fused", "fused_train") in (False,)
