@@ -116,15 +116,26 @@ class SynonymTable:
         emb = np.stack(vecs)
         emb /= np.maximum(np.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
 
+        # np.save appends ".npy" to bare paths — normalise so the
+        # exists() probe on the next run finds what save wrote; a
+        # stored k lets a cache built for a smaller n_candidates be
+        # rejected instead of silently truncating candidate lists
+        if cache_path and not cache_path.endswith(".npy"):
+            cache_path = cache_path + ".npy"
+        data = None
         if cache_path and os.path.exists(cache_path):
             data = np.load(cache_path, allow_pickle=True).item()
+            if data.get("k", 0) < n_candidates + 1:
+                data = None             # stale cache: rebuild
+        if data is not None:
             self.nbr_ids, self.nbr_sims = data["ids"], data["sims"]
         else:
             self.nbr_ids, self.nbr_sims = self._topk_chunked(
                 emb, n_candidates + 1, chunk)
             if cache_path:
                 np.save(cache_path, {"ids": self.nbr_ids,
-                                     "sims": self.nbr_sims})
+                                     "sims": self.nbr_sims,
+                                     "k": n_candidates + 1})
 
         self.table: Dict[int, List[str]] = {}
         for idx in range(len(self.word2id)):
@@ -288,7 +299,10 @@ class GreedyAttack:
     def _pick_word(self, words, saliency, mapping, history, n_changed,
                    text_len) -> Optional[int]:
         order = np.argsort(saliency)[::-1]
-        max_changes = min(int(text_len * 0.2), self.max_loops)
+        # 20%-of-words budget measured at the SEP token INDEX — i.e.
+        # 1 (CLS) + n_subtokens, one less than the mask sum (reference
+        # greedy_attack_vilt.py:277,288 `int(sep_idx[i][1] * 0.2)`)
+        max_changes = min(int((text_len - 1) * 0.2), self.max_loops)
         for idx in order:
             idx = int(idx)
             w = words[idx].strip().lower()

@@ -249,7 +249,9 @@ class FusedGreedyAttack:
                 off_end = jnp.cumsum(word_len, axis=1)
                 incl = jnp.cumprod((off_end < T).astype(jnp.int32),
                                    axis=1).astype(bool)
-                text_len = jnp.sum(masks, axis=1)
+                # budget at the SEP INDEX = mask sum - 1 (reference
+                # greedy_attack_vilt.py:288; matches greedy.py:_pick_word)
+                text_len = jnp.sum(masks, axis=1) - 1
                 max_changes = jnp.minimum(
                     (text_len.astype(jnp.float32) * 0.2).astype(jnp.int32),
                     base.max_loops)

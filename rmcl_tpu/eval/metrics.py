@@ -139,10 +139,6 @@ class MetricBag:
         for key, metric in self.metrics.items():
             if key.endswith("_loss") and key in ret:
                 metric.update(ret[key], weight=w)
-        if "vqa_attacked_loss" in self.metrics and "vqa_loss" in ret:
-            # the attacked-VQA objective reuses the `vqa_loss` key
-            self.metrics["vqa_attacked_loss"].update(ret["vqa_loss"],
-                                                     weight=w)
         if ln.get("mlm", 0) >= 1 and "mlm_logits" in ret:
             self.metrics["mlm_accuracy"].update(rows("mlm_logits"),
                                                 rows("mlm_labels"))
@@ -153,9 +149,14 @@ class MetricBag:
         if ln.get("itm", 0) >= 1 and "itm_logits" in ret:
             self.metrics["itm_accuracy"].update(rows("itm_logits"),
                                                 rows("itm_labels"))
-        if (ln.get("vqa", 0) >= 1 or ln.get("vqa_attacked", 0) >= 1) \
-                and "vqa_logits" in ret:
+        if ln.get("vqa", 0) >= 1 and "vqa_logits" in ret:
             self.metrics["vqa_score"].update(rows("vqa_logits"),
+                                             rows("vqa_targets"))
+        elif ln.get("vqa_attacked", 0) >= 1 \
+                and "vqa_attacked_logits" in ret:
+            # attacked-only config: vqa_score measures the attacked
+            # accuracy (reference metric naming, vilt_utils.py:99-115)
+            self.metrics["vqa_score"].update(rows("vqa_attacked_logits"),
                                              rows("vqa_targets"))
         if ln.get("nlvr2", 0) >= 1 and "nlvr2_logits" in ret:
             self.metrics["nlvr2_accuracy"].update(rows("nlvr2_logits"),
@@ -170,11 +171,15 @@ class MetricBag:
             self.metrics["irtr_attacked_accuracy"].update(
                 rows("irtr_attacked_logits"), rows("irtr_labels"))
         # free-form scalar telemetry (pgd_delta, success rates,
-        # in-graph *_step_accuracy, distances)
+        # in-graph *_step_accuracy, distances).  Check ndim BEFORE
+        # materialising: np.asarray on a device array forces a second
+        # full host transfer of every large logits tensor per step.
         for k, v in ret.items():
-            arr = np.asarray(v)
-            if arr.ndim == 0 and k not in self.metrics:
-                self.extra.setdefault(k, Scalar()).update(arr)
+            if k in self.metrics:
+                continue
+            if (isinstance(v, (int, float))
+                    or getattr(v, "ndim", None) == 0):
+                self.extra.setdefault(k, Scalar()).update(np.asarray(v))
 
     # ------------------------------------------------ cross-host reduce
     def _cross_host_sync(self):

@@ -123,27 +123,37 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     # ---- 3. jitted pair scorer: one image's cached embeds vs a text
     # chunk.  Params are explicit jit ARGUMENTS — closing over them can
     # bake host-resident leaves into the HLO as constants (remote
-    # compile payload blow-up).
+    # compile payload blow-up).  The jitted closures are cached on the
+    # trainer: fresh function objects would miss jit's cache and
+    # re-trace + re-compile the full scorer EVERY validation epoch.
     spec = trainer.model.spec
+    jits = getattr(trainer, "_recall_jits", None)
+    if jits is None:
+        @jax.jit
+        def embed_image(params, img):
+            ie, im, _, _ = visual_embed(
+                params["transformer"], img, spec=spec,
+                max_image_len=cfg.max_image_len, dtype=dtype)
+            return ie, im
 
-    @jax.jit
-    def embed_image(params, img):
-        ie, im, _, _ = visual_embed(
-            params["transformer"], img, spec=spec,
-            max_image_len=cfg.max_image_len, dtype=dtype)
-        return ie, im
+        @jax.jit
+        def score_chunk(params, ie, im, ids, masks):
+            C = ids.shape[0]
+            ieb = jnp.broadcast_to(ie, (C, *ie.shape[1:]))
+            imb = jnp.broadcast_to(im, (C, im.shape[1]))
+            batch = {"text_ids": ids, "text_masks": masks,
+                     "text_labels": jnp.full_like(ids, -100)}
+            infer = model.infer(params, batch, image_embeds=ieb,
+                                image_masks=imb, deterministic=True)
+            return rank_output(params["rank_output"],
+                               infer["cls_feats"])[:, 0]
 
-    @jax.jit
-    def score_chunk(params, ie, im, ids, masks):
-        C = ids.shape[0]
-        ieb = jnp.broadcast_to(ie, (C, *ie.shape[1:]))
-        imb = jnp.broadcast_to(im, (C, im.shape[1]))
-        batch = {"text_ids": ids, "text_masks": masks,
-                 "text_labels": jnp.full_like(ids, -100)}
-        infer = model.infer(params, batch, image_embeds=ieb,
-                            image_masks=imb, deterministic=True)
-        return rank_output(params["rank_output"],
-                           infer["cls_feats"])[:, 0]
+        jits = (embed_image, score_chunk)
+        try:
+            trainer._recall_jits = jits
+        except AttributeError:
+            pass                      # ad-hoc trainer stubs in tests
+    embed_image, score_chunk = jits
 
     # ---- 4. rank loop: images outer (cached embed), text chunks inner;
     # multi-host: shard the image rows over processes, gather at the end
@@ -214,6 +224,23 @@ def compute_attacked_irtr_recall(trainer, dataset_name: Optional[str] = None,
 
     attack_text_fn = None
     if text_view and getattr(trainer, "greedy", None) is not None:
+        # the extras below are IRTR-shaped (text_repr, temperature,
+        # sample_ids) — trainer.greedy may be a different framework's
+        # attacker (build_greedy_attacker priority: moco > bt > ...),
+        # so build a dedicated IRTR attacker on the same tokenizer +
+        # synonym table (reference compute_attacked_irtr_recall always
+        # uses the irtr attacker, objectives.py:1410)
+        from rmcl_tpu.attacks.greedy import GreedyAttackIrtr
+        from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+        _base = getattr(trainer.greedy, "base", trainer.greedy)
+        if isinstance(_base, GreedyAttackIrtr):
+            _irtr_greedy = trainer.greedy       # already IRTR-shaped
+        else:
+            _irtr_greedy = GreedyAttackIrtr(cfg, model, _base.tokenizer,
+                                            _base.synonyms)
+            if isinstance(trainer.greedy, FusedGreedyAttack):
+                _irtr_greedy = FusedGreedyAttack(_irtr_greedy)
+
         def attack_text_fn(ids, masks):
             out_ids = ids.copy()
             out_masks = masks.copy()
@@ -234,7 +261,7 @@ def compute_attacked_irtr_recall(trainer, dataset_name: Optional[str] = None,
                     ts.params["moco_head"], infer["cls_feats"]), axis=1)
                 extras = (_jax.lax.stop_gradient(tr_repr), cfg.temperature,
                           jnp.arange(tr_repr.shape[0]))
-                res = trainer.greedy.adv_attack_samples(
+                res = _irtr_greedy.adv_attack_samples(
                     ts.params,
                     {"text_ids": chunk["text_ids"],
                      "text_masks": chunk["text_masks"],

@@ -37,11 +37,13 @@ MOMENTUM_TWINS = ("text_embeddings", "token_type_embeddings",
 
 
 # ----------------------------------------------------------- EMA update
-def momentum_update(params: Dict[str, Any], m: float) -> Dict[str, Any]:
-    """k = m*k + (1-m)*q for the four twin module groups
-    (reference objectives.py:256-260)."""
+def momentum_update(params: Dict[str, Any], m: float,
+                    twins=None) -> Dict[str, Any]:
+    """k = m*k + (1-m)*q for the twin module groups
+    (reference objectives.py:256-260).  `twins` defaults to the RMCL
+    set; the standalone-MoCo path passes its own."""
     out = dict(params)
-    for name in MOMENTUM_TWINS:
+    for name in (MOMENTUM_TWINS if twins is None else twins):
         k_name = "k_" + name
         if k_name in params:
             out[k_name] = jax.tree.map(

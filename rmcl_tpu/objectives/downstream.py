@@ -61,7 +61,11 @@ def compute_vqa_attack(model, params, batch, *, rng=None, train: bool = False,
     logits = vqa_classifier(params["vqa_classifier"], infer["cls_feats"])
     targets = batch["vqa_targets"]
     loss = bce_with_logits(logits, targets) * targets.shape[1]
-    return {"vqa_loss": loss, "vqa_logits": logits, "vqa_targets": targets}
+    # distinct keys so a config running BOTH vqa and vqa_attacked keeps
+    # clean and attacked results separate (the reference reuses the
+    # clean keys but never activates both tasks at once)
+    return {"vqa_attacked_loss": loss, "vqa_attacked_logits": logits,
+            "vqa_targets": targets}
 
 
 # ----------------------------------------------------------------- NLVR2

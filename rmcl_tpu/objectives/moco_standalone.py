@@ -25,8 +25,8 @@ import jax
 import jax.numpy as jnp
 
 from rmcl_tpu.models import heads as H
-from rmcl_tpu.objectives.contrastive import momentum_update
-from rmcl_tpu.objectives.losses import cross_entropy, l2_normalize
+from rmcl_tpu.objectives.contrastive import infonce, momentum_update
+from rmcl_tpu.objectives.losses import l2_normalize
 
 PROJ_DIM = 128
 
@@ -66,6 +66,15 @@ def _shared_enqueue(state, keys_txt, keys_img):
     queue, ptr = state["txt_img_queue"], state["txt_img_queue_ptr"]
     K = queue.shape[1]
     B = keys_txt.shape[0]
+    if K % B != 0:
+        # same invariant as contrastive.dequeue_and_enqueue (reference
+        # objectives.py:241): each write is B wide and ptr advances
+        # mod K, so a non-divisible K lets dynamic_update_slice CLAMP
+        # the start index at wraparound and silently desync queue
+        # contents from the pointer.
+        raise ValueError(
+            f"standalone-MoCo queue size ({K}) must be divisible by "
+            f"the batch ({B})")
     queue = jax.lax.dynamic_update_slice(
         queue, keys_txt.T.astype(queue.dtype), (0, ptr))
     ptr = jnp.mod(ptr + B, K)
@@ -89,16 +98,9 @@ def compute_standalone_moco(model, params, state, batch, *, rng,
 
     `pgd_fn(params, batch, txt_k, queue) -> img_delta` attacks the image
     query against the text keys (reference pgd :180-230)."""
-    new_params = params
-    if train:
-        out = dict(params)
-        for name in STANDALONE_TWINS:
-            k_name = "k_" + name
-            if k_name in params:
-                out[k_name] = jax.tree.map(
-                    lambda kp, qp: kp * momentum + qp * (1 - momentum),
-                    params[k_name], params[name])
-        new_params = out
+    new_params = (momentum_update(params, momentum,
+                                  twins=STANDALONE_TWINS)
+                  if train else params)
 
     # momentum keys
     infer_k = model.infer_k(new_params, batch, deterministic=True)
@@ -121,12 +123,7 @@ def compute_standalone_moco(model, params, state, batch, *, rng,
     txt_q, img_q = _project(new_params, infer_q)
 
     def nce(q, k):
-        l_pos = jnp.einsum("nc,nc->n", q.astype(jnp.float32),
-                           k.astype(jnp.float32))[:, None]
-        l_neg = q.astype(jnp.float32) @ queue.astype(jnp.float32)
-        logits = jnp.concatenate([l_pos, l_neg], 1) / temperature
-        return cross_entropy(logits, jnp.zeros((q.shape[0],), jnp.int32)), \
-            logits
+        return infonce(q, k, queue, temperature)
 
     loss_txt, logits_txt = nce(txt_q, img_k)
     loss_img, logits_img = nce(img_q, txt_k)

@@ -574,7 +574,8 @@ class Trainer:
             bag.update(retl, valid=valid)
             if vqa_writer is not None and "qid" in batch:
                 qids = list(batch["qid"])
-                logits = retl["vqa_logits"]
+                logits = retl.get("vqa_logits",
+                                  retl.get("vqa_attacked_logits"))
                 if valid is not None and not valid.all():
                     qids = [q for q, keep in zip(qids, valid) if keep]
                     logits = logits[valid]

@@ -139,7 +139,7 @@ _TASK_LOSS_KEYS = {
     "irtr": ("irtr_loss",),
     "moco": ("moco_loss",),
     "barlowtwins": ("barlowtwins_loss",),
-    "vqa_attacked": ("vqa_loss",),
+    "vqa_attacked": ("vqa_attacked_loss",),
     "nlvr2_attacked": ("nlvr2_original_loss", "nlvr2_attacked_loss"),
     "irtr_attacked": ("irtr_original_loss", "irtr_attacked_loss"),
 }

@@ -524,6 +524,65 @@ def _write_synonym_vectors(path):
             f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
 
 
+def test_attacked_recall_text_view_attacker_selection(tmp_path):
+    """Attacked recall with text_view=True always attacks through an
+    IRTR-shaped greedy attacker (reference objectives.py:1410), even
+    when the trainer's attacker belongs to a different framework — the
+    production case is moco pretraining with get_recall_metric, where
+    trainer.greedy is GreedyAttackMoco and its extras layout would not
+    match the IRTR (text_repr, temperature, sample_ids) tuple.  The
+    rebuilt attacker shares tokenizer+synonyms, so the recall must be
+    IDENTICAL to running with the native IRTR attacker."""
+    from rmcl_tpu.attacks import greedy as G
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.eval.retrieval import compute_attacked_irtr_recall
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow), n=3)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "puppy", "running", "sprinting",
+                            "park", "garden", "the", "in", "a"])
+    emb = str(tmp_path / "vectors.txt")
+    _write_synonym_vectors(emb)
+
+    cfg = build_config(
+        "task_finetune_irtr_coco_randaug_attacked",
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=1, warmup_steps=0, batch_size=4,
+        draw_false_text=2, num_workers=2, max_image_len=-1,
+        loss_names=loss_names({"irtr_attacked": 1, "irtr": 1}),
+        text_view=True, image_view=False,
+        embedding_path=emb, n_candidates=2, max_loops=2,
+        greedy_impl="fused",
+        log_dir=str(tmp_path / "out"))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab, use_mesh=False)
+    tr.setup()
+    assert tr.greedy is not None
+    base = getattr(tr.greedy, "base", tr.greedy)
+    assert isinstance(base, G.GreedyAttackIrtr)   # native IRTR attacker
+
+    native = compute_attacked_irtr_recall(
+        tr, split="test", txt_chunk=4, verbose=False,
+        text_view=True, image_view=False, max_texts=None)
+    assert len(native) == 6
+    assert all(0.0 <= x <= 1.0 for x in native)
+
+    # swap in a MISMATCHED (moco) attacker on the same tables: the
+    # eval must rebuild an IRTR attacker and reproduce the same recall
+    tr.greedy = FusedGreedyAttack(
+        G.GreedyAttackMoco(cfg, tr.model, base.tokenizer, base.synonyms))
+    rebuilt = compute_attacked_irtr_recall(
+        tr, split="test", txt_chunk=4, verbose=False,
+        text_view=True, image_view=False, max_texts=None)
+    assert rebuilt == native
+
+
 @pytest.mark.parametrize("fuse_step,greedy_impl", [
     (True, "fused"),     # production default: one-program attack+step
     (False, "fused"),    # pipeline with the on-device fused attacker

@@ -278,7 +278,7 @@ def test_train_step_vqa_attacked_pgd():
     t[1, 2] = 0.9
     batch["vqa_targets"] = jnp.asarray(t)
     ts1, m = step_fn(ts, batch, jax.random.PRNGKey(1))
-    assert np.isfinite(float(m["vqa_loss"]))
+    assert np.isfinite(float(m["vqa_attacked_loss"]))
     assert int(ts1.step) == 1
 
 
