@@ -8,7 +8,11 @@ method — per-call timing lies over the remote tunnel):
   key_fwd    model.infer_k deterministic forward + k projection
   opt        AdamW update: tx.update + apply_updates (donated chain)
   queue_nce  dequeue_and_enqueue + 4x infonce against the 65k queue
-  sched      lr schedule lookup (should be ~0)
+
+Measured b16 (v5e, round 3): ema 1.62 + key_fwd 5.56 + opt 5.30 +
+queue_nce 0.04 = 12.5 of the 17.6 ms derivation-matrix intercept; the
+EMA and AdamW numbers sit at their HBM read/write floors (~1.5 and
+~3.9 ms for ~100M twin / 113M param fp32 trees).
 
 Usage:  python scripts/profile_fixed.py [B ...]     (default: 16 64)
 """
