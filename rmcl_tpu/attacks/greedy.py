@@ -119,23 +119,35 @@ class SynonymTable:
         # np.save appends ".npy" to bare paths — normalise so the
         # exists() probe on the next run finds what save wrote; a
         # stored k lets a cache built for a smaller n_candidates be
-        # rejected instead of silently truncating candidate lists
+        # rejected instead of silently truncating candidate lists, and
+        # a vocabulary fingerprint rejects a cache built from a
+        # DIFFERENT embedding file sharing the same path (the default
+        # sim_path is relative, so unrelated runs share a CWD cache —
+        # a k-only check let a foreign cache poison the table with
+        # out-of-range ids).
+        import hashlib
+        vocab_hash = hashlib.sha256(
+            "\n".join(self.id2word[i] for i in range(len(self.id2word)))
+            .encode()).hexdigest()
+        k_eff = min(n_candidates + 1, emb.shape[0])  # top_k caps at |V|
         if cache_path and not cache_path.endswith(".npy"):
             cache_path = cache_path + ".npy"
         data = None
         if cache_path and os.path.exists(cache_path):
             data = np.load(cache_path, allow_pickle=True).item()
-            if data.get("k", 0) < n_candidates + 1:
-                data = None             # stale cache: rebuild
+            if (data.get("k", 0) < k_eff
+                    or data.get("vocab_hash") != vocab_hash):
+                data = None             # stale/foreign cache: rebuild
         if data is not None:
             self.nbr_ids, self.nbr_sims = data["ids"], data["sims"]
         else:
             self.nbr_ids, self.nbr_sims = self._topk_chunked(
-                emb, n_candidates + 1, chunk)
+                emb, k_eff, chunk)
             if cache_path:
                 np.save(cache_path, {"ids": self.nbr_ids,
                                      "sims": self.nbr_sims,
-                                     "k": n_candidates + 1})
+                                     "k": k_eff,
+                                     "vocab_hash": vocab_hash})
 
         self.table: Dict[int, List[str]] = {}
         for idx in range(len(self.word2id)):

@@ -44,10 +44,25 @@ class CheckpointManager:
         self.monitor = monitor
         self.best_score: Optional[float] = None
         self._ckptr = None
-        self._seq = 0
         # logical name -> dir scheduled but not yet pointer-committed
         self._pending: Dict[str, str] = {}
         os.makedirs(self.workdir, exist_ok=True)
+        # Resume the unique-dir sequence past anything already on disk:
+        # a fresh manager re-run into an old workdir must not collide
+        # with a previous run's `<name>.<step>-<seq>` directories
+        # (orbax refuses to overwrite an existing destination).
+        self._seq = self._scan_seq()
+
+    def _scan_seq(self) -> int:
+        seq = 0
+        try:
+            for d in os.listdir(self.workdir):
+                _, _, tail = d.rpartition("-")
+                if tail.isdigit() and os.path.isdir(os.path.join(self.workdir, d)):
+                    seq = max(seq, int(tail))
+        except OSError:
+            pass
+        return seq
 
     def _c(self):
         if self._ckptr is None:
@@ -107,6 +122,9 @@ class CheckpointManager:
         self._sync()
         self._seq += 1
         dirname = f"{logical}.{int(jax.device_get(ts.step))}-{self._seq}"
+        while os.path.exists(self._path(dirname)):  # orphan from a crash
+            self._seq += 1
+            dirname = f"{logical}.{int(jax.device_get(ts.step))}-{self._seq}"
         c.save(self._path(dirname), _as_tree(ts))
         self._pending[logical] = dirname
 

@@ -79,6 +79,38 @@ def test_synonym_table(tiny_synonyms):
     assert tiny_synonyms.candidates("zebra") == ["zebra"]
 
 
+def test_synonym_table_rejects_foreign_cache(tmp_path):
+    """A cache written for a DIFFERENT embedding file at the same
+    sim_path must be rebuilt, not trusted: the default sim_path is a
+    relative CWD path shared by unrelated runs, and a foreign cache
+    carries out-of-range neighbour ids (seen as KeyError building the
+    candidate table)."""
+    rng = np.random.RandomState(1)
+
+    def write(path, words):
+        with open(path, "w") as f:
+            for w in words:
+                v = rng.randn(8)
+                f.write(w + " " + " ".join(f"{x:.4f}" for x in v) + "\n")
+
+    big = tmp_path / "big.txt"
+    small = tmp_path / "small.txt"
+    write(big, [f"w{i}" for i in range(16)])
+    write(small, ["alpha", "beta", "gamma"])
+    cache = str(tmp_path / "cos_sim_cache.npy")
+
+    SynonymTable(str(big), n_candidates=3, sim_thred=-1.0, cache_path=cache)
+    # same cache path, 3-word vocab: k check alone would accept the
+    # 16-word cache and index id2word out of range
+    t = SynonymTable(str(small), n_candidates=3, sim_thred=-1.0,
+                     cache_path=cache)
+    assert set(t.candidates("alpha")) <= {"alpha", "beta", "gamma"}
+    # and the rebuilt cache is reusable for its own vocab
+    t2 = SynonymTable(str(small), n_candidates=3, sim_thred=-1.0,
+                      cache_path=cache)
+    assert t2.candidates("alpha") == t.candidates("alpha")
+
+
 def _moco_model_and_batch(moco_setup, vocab_size):
     cfg = moco_setup.replace(vocab_size=vocab_size)
     model = ViLTModel(cfg)

@@ -502,3 +502,35 @@ def test_grad_accumulation_matches_big_batch():
         lambda a, b: np.testing.assert_allclose(
             np.array(a), np.array(b), rtol=2e-4, atol=1e-6),
         ts_a2.params, ts_f1.params)
+
+
+def test_checkpoint_rerun_same_workdir(tmp_path):
+    """A fresh CheckpointManager pointed at an old workdir must not
+    collide with the previous run's unique dirs (orbax refuses to
+    overwrite an existing destination — seen re-running a job into the
+    same log_dir: `Destination .../last.4-1 already exists`)."""
+    from rmcl_tpu.train.checkpoint import CheckpointManager
+
+    cfg = _tiny({"mlm": 1})
+    _, ts, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+
+    cm1 = CheckpointManager(str(tmp_path))
+    cm1.save_last(ts)
+    cm1.wait()
+
+    # Second run: same workdir, same step counter -> same (step, seq)
+    # naming unless the sequence is resumed past what's on disk.
+    cm2 = CheckpointManager(str(tmp_path))
+    cm2.save_last(ts)
+    cm2.wait()
+    restored = cm2.restore(ts, "last")
+    assert int(restored.step) == int(ts.step)
+
+    # Orphan directory (crash between save and pointer swing) must be
+    # skipped, not crashed into.
+    import os
+    orphan = os.path.join(str(tmp_path), f"last.{int(ts.step)}-{cm2._seq + 1}")
+    os.makedirs(orphan)
+    cm2.save_last(ts)
+    cm2.wait()
+    assert cm2.has("last")
