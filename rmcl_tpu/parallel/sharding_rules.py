@@ -85,3 +85,44 @@ def apply_param_shardings(params: Any, mesh: Mesh) -> Any:
     """device_put the params with their rule shardings."""
     sh = param_shardings(params, mesh)
     return jax.tree.map(jax.device_put, params, sh)
+
+
+# ----------------------------------------------------------------- ZeRO-1
+DATA_AXIS = "data"
+
+
+def zero1_shardings(opt_state: Any, mesh: Mesh) -> Any:
+    """ZeRO-1 optimizer-state partitioning over the ``data`` axis.
+
+    The reference replicates optimizer state across DDP ranks (plain
+    PyTorch AdamW under PL, SURVEY.md §2.4 "ZeRO/FSDP: No").  On TPU the
+    idiomatic upgrade is free with SPMD: shard every AdamW m/v (and
+    grad-accumulation) leaf's dim-0 over ``data`` and let XLA turn the
+    gradient all-reduce into reduce-scatter + the parameter update's
+    all-gather — the classic ZeRO-1 schedule, no step-code changes.
+    Params stay replicated (fwd/bwd unchanged); per-chip optimizer
+    memory drops ~(ndata-1)/ndata · 2 · 113M·4B ≈ 0.79 GB at ndata=8.
+
+    Leaves whose dim-0 is not divisible by the axis size (scalars,
+    odd-shaped heads) stay replicated.  Meshes with a ``model`` axis are
+    rejected: m/v there inherit the Megatron layout from ``tx.init`` and
+    re-sharding dim-0 would clobber it.
+    """
+    if MODEL_AXIS in mesh.axis_names:
+        raise ValueError("zero1 requires a pure-data mesh; optimizer "
+                         "state on model-axis meshes already inherits "
+                         "the tensor-parallel layout")
+    ndp = mesh.shape[DATA_AXIS]
+
+    def one(leaf):
+        shape = getattr(leaf, "shape", ())
+        if len(shape) >= 1 and shape[0] >= ndp and shape[0] % ndp == 0:
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree.map(one, opt_state)
+
+
+def apply_zero1_shardings(opt_state: Any, mesh: Mesh) -> Any:
+    sh = zero1_shardings(opt_state, mesh)
+    return jax.tree.map(jax.device_put, opt_state, sh)

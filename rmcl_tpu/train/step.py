@@ -82,7 +82,11 @@ def create_train_state(rng, cfg: RMCLConfig,
             lambda x: jax.device_put(x, replicated_sharding(mesh)), state)
     tx, _ = make_optimizer(cfg, params, max_steps or resolve_max_steps(cfg),
                            accum=accum)
-    ts = TrainState(params=params, opt_state=tx.init(params), state=state,
+    opt_state = tx.init(params)
+    if mesh is not None and getattr(cfg, "zero1", False):
+        from rmcl_tpu.parallel.sharding_rules import apply_zero1_shardings
+        opt_state = apply_zero1_shardings(opt_state, mesh)
+    ts = TrainState(params=params, opt_state=opt_state, state=state,
                     step=jnp.zeros((), jnp.int32))
     return model, ts, tx
 
@@ -255,7 +259,8 @@ def make_train_step(cfg: RMCLConfig, model: ViLTModel,
     """
     lr_sched = make_lr_schedule(cfg, max_steps or resolve_max_steps(cfg))
     train_step = _train_step_body(cfg, model, tx, lr_sched, accum)
-    return _jit_step(train_step, mesh, donate)
+    return _jit_step(train_step, mesh, donate,
+                     inherit_ts=getattr(cfg, "zero1", False))
 
 
 def _train_step_body(cfg: RMCLConfig, model: ViLTModel, tx, lr_sched,
@@ -293,11 +298,21 @@ def _train_step_body(cfg: RMCLConfig, model: ViLTModel, tx, lr_sched,
     return train_step
 
 
-def _jit_step(train_step, mesh, donate: bool):
+def _jit_step(train_step, mesh, donate: bool, inherit_ts: bool = False):
     if mesh is not None:
         from rmcl_tpu.parallel.sharding_rules import MODEL_AXIS
         repl = replicated_sharding(mesh)
         bsh = batch_sharding(mesh)
+        if inherit_ts:
+            # ZeRO-1: the TrainState carries its creation-time layout
+            # (replicated params, data-sharded optimizer state) — None
+            # inherits it; outputs propagate the same layout so the
+            # donated buffers are reused in place.
+            return jax.jit(
+                train_step,
+                in_shardings=(None, bsh, repl),
+                donate_argnums=(0,) if donate else (),
+            )
         if MODEL_AXIS in mesh.axis_names:
             # tensor-parallel layout: TrainState keeps the shardings it
             # was created with (None = inherit); XLA inserts the
@@ -367,7 +382,8 @@ def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
             nchf / jnp.maximum(nw.astype(jnp.float32), 1.0))
         return new_ts, metrics
 
-    return _jit_step(attacked_step, mesh, donate)
+    return _jit_step(attacked_step, mesh, donate,
+                     inherit_ts=getattr(cfg, "zero1", False))
 
 
 # -------------------------------------------------------------- eval step

@@ -534,3 +534,54 @@ def test_checkpoint_rerun_same_workdir(tmp_path):
     cm2.save_last(ts)
     cm2.wait()
     assert cm2.has("last")
+
+
+def test_zero1_optimizer_sharding_matches_replicated():
+    """ZeRO-1 (`cfg.zero1`: AdamW m/v sharded over the data axis,
+    parallel/sharding_rules.py:zero1_shardings) is a pure layout
+    change: params and MoCo state after 3 full RMCL steps match the
+    replicated baseline, and the eligible optimizer leaves really are
+    dim-0-sharded."""
+    assert jax.device_count() >= 8
+    from jax.sharding import PartitionSpec as P
+
+    cfg = _tiny({"moco": 1}, num_negative=16, momentum=0.99,
+                temperature=0.07, image_view=True, text_view=True,
+                adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+                warmup_steps=0)
+    mesh = make_mesh(jax.devices()[:8])
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["attacked_text_ids"] = jnp.roll(batch["text_ids"], 1, axis=1)
+    batch["attacked_text_masks"] = batch["text_masks"]
+
+    def run(zero1):
+        c = cfg.replace(zero1=zero1)
+        model, ts, tx = create_train_state(
+            jax.random.PRNGKey(0), c, mesh=mesh if zero1 else None)
+        step_fn = make_train_step(c, model, tx, mesh=mesh, donate=False)
+        sb = shard_batch(batch, mesh)
+        for i in range(3):
+            ts, m = step_fn(ts, sb, jax.random.PRNGKey(10 + i))
+        return ts, m
+
+    base_ts, base_m = run(False)
+    z1_ts, z1_m = run(True)
+
+    np.testing.assert_allclose(float(z1_m["moco_loss"]),
+                               float(base_m["moco_loss"]), rtol=1e-5)
+    jax.tree.map(lambda a, b_: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b_), atol=1e-5),
+        base_ts.params, z1_ts.params)
+    jax.tree.map(lambda a, b_: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b_), atol=1e-5),
+        base_ts.state, z1_ts.state)
+
+    # every eligible leaf (dim0 divisible by 8) is data-sharded, and the
+    # layout survived three donated-step round trips
+    n_sharded = 0
+    for leaf in jax.tree.leaves(z1_ts.opt_state):
+        if leaf.ndim >= 1 and leaf.shape and leaf.shape[0] % 8 == 0 and leaf.shape[0] >= 8:
+            assert leaf.sharding.spec == P("data"), (leaf.shape, leaf.sharding)
+            n_sharded += 1
+    assert n_sharded > 10  # m, v and every param-shaped buffer
