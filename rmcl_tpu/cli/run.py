@@ -14,9 +14,11 @@ import ast
 import sys
 from typing import Any, Dict, List, Tuple
 
-from rmcl_tpu.core.tpu_env import ensure_scoped_vmem_flag
+from rmcl_tpu.core.tpu_env import (
+    ensure_compilation_cache, ensure_scoped_vmem_flag)
 
 ensure_scoped_vmem_flag()  # before first jax TPU touch (fused_train MLP)
+ensure_compilation_cache()  # restarts replay compiles from disk
 
 from rmcl_tpu.core.config import build_config, named_configs  # noqa: E402
 

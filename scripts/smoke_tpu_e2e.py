@@ -90,13 +90,9 @@ def make_data(n=64):
     return arrow_dir, vocab, vectors
 
 
-def main():
-    max_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    arrow_dir, vocab, vectors = make_data()
-
+def run_cli(arrow_dir, vocab, vectors, max_steps, resume=False):
     from rmcl_tpu.cli.run import main as cli_main
-    t0 = time.perf_counter()
-    rc = cli_main([
+    return cli_main([
         "with", "task_moco",
         f"data_root={arrow_dir}", "datasets=('coco',)",
         f"tokenizer={vocab}",
@@ -108,10 +104,29 @@ def main():
         "warmup_steps=2", "num_workers=2",
         "get_recall_metric=False",
         f"log_dir={os.path.join(ROOT, 'out')}",
-    ])
+    ] + (["resume_from=last"] if resume else []))
+
+
+def main():
+    max_steps = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    arrow_dir, vocab, vectors = make_data()
+
+    t0 = time.perf_counter()
+    rc = run_cli(arrow_dir, vocab, vectors, max_steps)
     dt = time.perf_counter() - t0
     print(f"[smoke] rc={rc} wall={dt:.1f}s for {max_steps} steps "
           f"(incl. compile + validation)")
+    if rc:
+        return rc
+
+    # resume leg: restart from the 'last' checkpoint the first run
+    # wrote and train max_steps more (exercises on-chip orbax restore
+    # and the re-run-into-existing-workdir path)
+    t0 = time.perf_counter()
+    rc = run_cli(arrow_dir, vocab, vectors, 2 * max_steps, resume=True)
+    dt = time.perf_counter() - t0
+    print(f"[smoke] resume rc={rc} wall={dt:.1f}s "
+          f"(steps {max_steps}->{2 * max_steps})")
     return rc
 
 

@@ -149,6 +149,43 @@ def test_trainer_fast_dev_run(tmp_path):
     assert int(restored.step) == int(ts.step)
 
 
+def test_trainer_resume_from_last(tmp_path):
+    """A FRESH Trainer pointed at the old workdir with resume_from
+    restores `last` and continues counting optimizer steps from there
+    (reference `resume_from_checkpoint`, run.py:108) — including the
+    re-run-into-existing-workdir checkpoint naming."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow))
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    kw = dict(
+        datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, warmup_steps=0, batch_size=4,
+        draw_false_image=1, num_workers=2, max_image_len=-1,
+        log_dir=str(tmp_path / "out"))
+    cfg = build_config("task_mlm_itm", max_steps=2, **kw)
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab)
+    tr.setup()
+    ts = tr.fit()
+    assert int(ts.step) == 2
+
+    cfg2 = build_config("task_mlm_itm", max_steps=4, resume_from="last",
+                        **kw)
+    tr2 = Trainer(cfg2, workdir=cfg2.log_dir, vocab_path=vocab)
+    tr2.setup()
+    assert tr2.steps_done == 2          # restored, not fresh
+    ts2 = tr2.fit()
+    assert int(ts2.step) == 4
+
+
 def test_compute_irtr_recall_e2e(tmp_path):
     """Recall evaluator over a synthetic arrow dataset with an irtr model."""
     import jax
