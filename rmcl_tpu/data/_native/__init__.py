@@ -94,7 +94,21 @@ def _bind_imageproc(lib):
     lib.ip_normalize_hwc.argtypes = [
         u8p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
         ctypes.POINTER(ctypes.c_float)]
+    f32p = ctypes.POINTER(ctypes.c_float)
+    lib.ip_image_to_patch_rows.restype = ctypes.c_int32
+    lib.ip_image_to_patch_rows.argtypes = [
+        f32p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p]
     return lib
+
+
+def image_to_patch_rows(lib, img, H: int, W: int, P: int, out_rows) -> int:
+    """Scatter one contiguous f32 (h, w, 3) image into a pre-zeroed
+    (gh*gw, P*P*3) patch-row batch element (see imageproc.cpp)."""
+    f32p = ctypes.POINTER(ctypes.c_float)
+    return lib.ip_image_to_patch_rows(
+        img.ctypes.data_as(f32p), img.shape[0], img.shape[1],
+        H, W, P, out_rows.ctypes.data_as(f32p))
 
 
 def load_imageproc() -> Optional[ctypes.CDLL]:

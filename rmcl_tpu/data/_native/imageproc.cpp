@@ -159,4 +159,38 @@ int ip_normalize_hwc(const uint8_t* in, int h, int w, int c, float* out) {
     return 0;
 }
 
+// One normalized f32 image (h, w, 3) scattered into ONE batch
+// element's patch rows (gh*gw, P*P*3), (ph, pw, ch) flat order,
+// zero-padded to the (H, W) bucket canvas — the canvas itself is never
+// materialized.  `out` (the batch element) must be pre-zeroed.
+// Replaces collate's zero-canvas fill + numpy 6-D transpose
+// (arrow_dataset.py:hwc_to_patch_rows), whose generic strided iterator
+// ran at ~27 MB/s; this is pure row-segment memcpy.
+int ip_image_to_patch_rows(const float* img, int h, int w,
+                           int H, int W, int P, float* out) {
+    if (P <= 0 || H % P || W % P) return 1;
+    const int gw = W / P;
+    const size_t prow = (size_t)P * P * 3;       // out row floats
+    const size_t chunk = (size_t)P * 3;
+    const int ch = h < H ? h : H;
+    const int cw = w < W ? w : W;
+    const int gimax = (ch + P - 1) / P, gjmax = (cw + P - 1) / P;
+    // patch-major: each out row (one patch, P*P*3 floats) is written
+    // sequentially; reads stride w*3 between the patch's image rows
+    for (int gi = 0; gi < gimax; gi++) {
+        const int y0 = gi * P;
+        const int ny = (ch - y0) < P ? (ch - y0) : P;
+        for (int gj = 0; gj < gjmax; gj++) {
+            const int x0 = gj * P;
+            const size_t nx = (size_t)((cw - x0) < P ? (cw - x0) : P) * 3;
+            float* op = out + ((size_t)gi * gw + gj) * prow;
+            const float* sp = img + ((size_t)y0 * w + x0) * 3;
+            for (int ph = 0; ph < ny; ph++)
+                memcpy(op + (size_t)ph * chunk, sp + (size_t)ph * w * 3,
+                       nx * sizeof(float));
+        }
+    }
+    return 0;
+}
+
 }  // extern "C"

@@ -188,3 +188,33 @@ def test_native_imageproc_bit_parity_and_speed():
     t_nat = time.perf_counter() - t0
     print(f"pixelbert 480x640->384-bucket: PIL {t_pil*100:.1f} ms/img, "
           f"native {t_nat*100:.1f} ms/img")
+
+
+def test_image_to_patch_rows_matches_numpy():
+    """C++ patch-row scatter (ip_image_to_patch_rows) is bit-exact vs
+    the numpy canvas+transpose reference, including clipping an
+    oversize image and zero-padding partial-patch edges."""
+    import numpy as np
+    from rmcl_tpu.data.arrow_dataset import (
+        _images_to_patch_rows, hwc_to_patch_rows)
+    from rmcl_tpu.data import _native
+
+    if _native.load_imageproc() is None:
+        import pytest
+        pytest.skip("no native toolchain")
+
+    rng = np.random.RandomState(0)
+    B, H, W, P = 5, 96, 128, 32
+    imgs = [rng.randn(96, 112, 3).astype(np.float32),
+            rng.randn(100, 160, 3).astype(np.float32),   # oversize: clip
+            rng.randn(33, 47, 3).astype(np.float32),     # partial patches
+            rng.randn(96, 128, 3).astype(np.float32),    # exact fit
+            rng.randn(1, 1, 3).astype(np.float32)]       # degenerate
+    canvas = np.zeros((B, H, W, 3), np.float32)
+    for bi, im in enumerate(imgs):
+        h, w = im.shape[:2]
+        canvas[bi, :min(h, H), :min(w, W)] = im[:H, :W]
+    ref = hwc_to_patch_rows(canvas, P)
+    got = _images_to_patch_rows(imgs, H, W, P)
+    assert got.shape == ref.shape
+    assert np.array_equal(got, ref)
