@@ -69,6 +69,11 @@ class RMCLConfig:
     max_image_len: int = -1
     patch_size: int = 32
     draw_false_image: int = 1
+    # drop false-image/text draws no ACTIVE loss reads (only itm
+    # consumes false_image_0, only irtr/irtr_attacked consume
+    # false_text_i) — the reference decodes a false image per sample
+    # even for task_moco, where nothing reads it (data/datamodule.py)
+    skip_unused_false_draws: bool = True
     image_only: bool = False
 
     # Text

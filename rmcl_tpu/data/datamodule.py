@@ -46,13 +46,28 @@ class MultitaskDataModule:
         cls = DATASETS[name]
         keys = (cfg.train_transform_keys if split == "train"
                 else cfg.val_transform_keys)
+        # Skip false draws no active loss consumes: only ITM reads
+        # false_image_0 (objectives/pretrain.py:72) and only IRTR reads
+        # false_text_i (objectives/downstream.py:127-133), yet the
+        # reference decodes them whenever draw_false_* > 0 — task_moco
+        # inherits draw_false_image=1 (reference config.py:39) and pays
+        # a second full image decode+transform per sample for a tensor
+        # nothing reads.  Derivation preserves batch keys for every
+        # consumer; disable with skip_unused_false_draws=False.
+        dfi, dft = cfg.draw_false_image, cfg.draw_false_text
+        if cfg.skip_unused_false_draws:
+            ln = dict(cfg.loss_names)
+            if ln.get("itm", 0) < 1:
+                dfi = 0
+            if ln.get("irtr", 0) < 1 and ln.get("irtr_attacked", 0) < 1:
+                dft = 0
         kw = dict(
             data_dir=cfg.data_root,
             transform_keys=list(keys),
             image_size=cfg.image_size,
             max_text_len=cfg.max_text_len,
-            draw_false_image=0 if no_false else cfg.draw_false_image,
-            draw_false_text=0 if no_false else cfg.draw_false_text,
+            draw_false_image=0 if no_false else dfi,
+            draw_false_text=0 if no_false else dft,
             image_only=cfg.image_only,
             bucket_hw=cfg.image_bucket_hw,
             tokenizer=self.tokenizer,

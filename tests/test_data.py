@@ -537,3 +537,32 @@ def test_caption_writers_roundtrip(tmp_path, tok):
     make_arrow_conceptual_caption(str(root), str(out))
     ds = ConceptualCaptionDataset(split="val", **dskw)
     assert len(ds) == 2
+
+
+def test_skip_unused_false_draws(arrow_dir, tmp_path):
+    """task_moco (itm inactive) skips the false-image decode entirely;
+    ITM configs keep it; the knob restores reference behavior (which
+    decodes draw_false_image=1 even for moco, reference config.py:39)."""
+    from rmcl_tpu.core.config import build_config, loss_names
+
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "quick", "the", "a"])
+
+    def batch_for(ln, **kw):
+        cfg = build_config(
+            datasets=("coco",), data_root=arrow_dir,
+            loss_names=loss_names(ln), image_size=32,
+            image_bucket_hw=(32, 32), max_text_len=8, num_workers=1,
+            per_device_batchsize=2, batch_size=2, **kw)
+        dm = MultitaskDataModule(cfg, vocab_path=vocab)
+        dm.setup()
+        return next(iter(dm.train_loader(2)))
+
+    moco = batch_for({"moco": 1})
+    assert "false_image_0" not in moco          # skipped: nothing reads it
+
+    itm = batch_for({"itm": 1, "mlm": 1})
+    assert "false_image_0" in itm               # itm consumes it
+
+    off = batch_for({"moco": 1}, skip_unused_false_draws=False)
+    assert "false_image_0" in off               # reference-faithful mode
