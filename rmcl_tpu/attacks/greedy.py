@@ -263,6 +263,9 @@ class GreedyAttack:
     # --------------------------------------------------------- device fns
     def _build_jits(self):
         def grad_pass(params, batch, extras):
+            from rmcl_tpu.models.vit import normalize_image_inputs
+            batch = normalize_image_inputs(batch, grid_hw=self.cfg.grid_hw,
+                                           patch_size=self.cfg.patch_size)
             we = embedding(params["text_embeddings"]["word_embeddings"],
                            batch["text_ids"])
 
@@ -275,6 +278,9 @@ class GreedyAttack:
             return per, grads, aux
 
         def score_pass(params, batch, cand_ids, cand_masks, extras, aux):
+            from rmcl_tpu.models.vit import normalize_image_inputs
+            batch = normalize_image_inputs(batch, grid_hw=self.cfg.grid_hw,
+                                           patch_size=self.cfg.patch_size)
             B, nc, T = cand_ids.shape
             flat = dict(batch)
             flat["text_ids"] = cand_ids.reshape(B * nc, T)

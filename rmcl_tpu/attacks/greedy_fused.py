@@ -201,6 +201,10 @@ class FusedGreedyAttack:
 
         def fused(params, dev_batch, extras, word_tok, word_len,
                   attackable, cand_tok, cand_len, cand_valid):
+            from rmcl_tpu.models.vit import normalize_image_inputs
+            dev_batch = normalize_image_inputs(
+                dev_batch, grid_hw=base.cfg.grid_hw,
+                patch_size=base.cfg.patch_size)
             B, W = word_len.shape
             M = word_tok.shape[-1]
 

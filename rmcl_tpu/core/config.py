@@ -220,6 +220,14 @@ class RMCLConfig:
     # transformer scan-carry layout: "3d" (B,S,C) | "2d" (flat B*S,C —
     # reshapes only around the attention core; see models/vit.py)
     block_layout: str = "3d"
+    # host->device image wire format: "uint8" ships raw resized pixels
+    # + per-sample (h, w) metadata and normalizes at program entry
+    # (models/vit.py:normalize_image_inputs) — BIT-IDENTICAL tensors to
+    # the f32 pipeline (same (x/255-0.5)/0.5 f32 op order; padding
+    # forced to exactly 0.0 from the metadata rect), 4x less host
+    # collate+transfer bytes.  "float32" ships normalized pixels like
+    # the reference.  PARITY #26.
+    image_dtype: str = "uint8"
     compute_dtype: str = "bfloat16"
     # MoCo negatives-queue storage dtype ("" = compute_dtype): bf16
     # halves the (128, 65536) l_neg reads in every InfoNCE and greedy

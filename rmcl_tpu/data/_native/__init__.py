@@ -99,12 +99,22 @@ def _bind_imageproc(lib):
     lib.ip_image_to_patch_rows.argtypes = [
         f32p, ctypes.c_int32, ctypes.c_int32,
         ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, f32p]
+    lib.ip_image_to_patch_rows_u8.restype = ctypes.c_int32
+    lib.ip_image_to_patch_rows_u8.argtypes = [
+        u8p, ctypes.c_int32, ctypes.c_int32,
+        ctypes.c_int32, ctypes.c_int32, ctypes.c_int32, u8p]
     return lib
 
 
 def image_to_patch_rows(lib, img, H: int, W: int, P: int, out_rows) -> int:
-    """Scatter one contiguous f32 (h, w, 3) image into a pre-zeroed
+    """Scatter one contiguous f32/u8 (h, w, 3) image into a pre-zeroed
     (gh*gw, P*P*3) patch-row batch element (see imageproc.cpp)."""
+    import numpy as np
+    if img.dtype == np.uint8:
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        return lib.ip_image_to_patch_rows_u8(
+            img.ctypes.data_as(u8p), img.shape[0], img.shape[1],
+            H, W, P, out_rows.ctypes.data_as(u8p))
     f32p = ctypes.POINTER(ctypes.c_float)
     return lib.ip_image_to_patch_rows(
         img.ctypes.data_as(f32p), img.shape[0], img.shape[1],

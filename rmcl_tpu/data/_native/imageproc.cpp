@@ -84,6 +84,34 @@ int precompute_coeffs(int inSize, int outSize, std::vector<int>& bounds,
     return ksize;
 }
 
+template <typename T>
+static int patch_rows_scatter(const T* img, int h, int w,
+                              int H, int W, int P, T* out) {
+    if (P <= 0 || H % P || W % P) return 1;
+    const int gw = W / P;
+    const size_t prow = (size_t)P * P * 3;       // out row elements
+    const size_t chunk = (size_t)P * 3;
+    const int ch = h < H ? h : H;
+    const int cw = w < W ? w : W;
+    const int gimax = (ch + P - 1) / P, gjmax = (cw + P - 1) / P;
+    // patch-major: each out row (one patch, P*P*3 elements) is written
+    // sequentially; reads stride w*3 between the patch's image rows
+    for (int gi = 0; gi < gimax; gi++) {
+        const int y0 = gi * P;
+        const int ny = (ch - y0) < P ? (ch - y0) : P;
+        for (int gj = 0; gj < gjmax; gj++) {
+            const int x0 = gj * P;
+            const size_t nx = (size_t)((cw - x0) < P ? (cw - x0) : P) * 3;
+            T* op = out + ((size_t)gi * gw + gj) * prow;
+            const T* sp = img + ((size_t)y0 * w + x0) * 3;
+            for (int ph = 0; ph < ny; ph++)
+                memcpy(op + (size_t)ph * chunk, sp + (size_t)ph * w * 3,
+                       nx * sizeof(T));
+        }
+    }
+    return 0;
+}
+
 }  // namespace
 
 extern "C" {
@@ -168,29 +196,14 @@ int ip_normalize_hwc(const uint8_t* in, int h, int w, int c, float* out) {
 // ran at ~27 MB/s; this is pure row-segment memcpy.
 int ip_image_to_patch_rows(const float* img, int h, int w,
                            int H, int W, int P, float* out) {
-    if (P <= 0 || H % P || W % P) return 1;
-    const int gw = W / P;
-    const size_t prow = (size_t)P * P * 3;       // out row floats
-    const size_t chunk = (size_t)P * 3;
-    const int ch = h < H ? h : H;
-    const int cw = w < W ? w : W;
-    const int gimax = (ch + P - 1) / P, gjmax = (cw + P - 1) / P;
-    // patch-major: each out row (one patch, P*P*3 floats) is written
-    // sequentially; reads stride w*3 between the patch's image rows
-    for (int gi = 0; gi < gimax; gi++) {
-        const int y0 = gi * P;
-        const int ny = (ch - y0) < P ? (ch - y0) : P;
-        for (int gj = 0; gj < gjmax; gj++) {
-            const int x0 = gj * P;
-            const size_t nx = (size_t)((cw - x0) < P ? (cw - x0) : P) * 3;
-            float* op = out + ((size_t)gi * gw + gj) * prow;
-            const float* sp = img + ((size_t)y0 * w + x0) * 3;
-            for (int ph = 0; ph < ny; ph++)
-                memcpy(op + (size_t)ph * chunk, sp + (size_t)ph * w * 3,
-                       nx * sizeof(float));
-        }
-    }
-    return 0;
+    return patch_rows_scatter(img, h, w, H, W, P, out);
+}
+
+// uint8 variant — same layout, 4x fewer bytes (the device normalizes
+// at program entry; models/vit.py normalize_image_inputs).
+int ip_image_to_patch_rows_u8(const uint8_t* img, int h, int w,
+                              int H, int W, int P, uint8_t* out) {
+    return patch_rows_scatter(img, h, w, H, W, P, out);
 }
 
 }  // extern "C"

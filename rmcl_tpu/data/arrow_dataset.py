@@ -45,10 +45,12 @@ class ArrowDataset:
         max_num: int = -1,
         bucket_hw: Optional[Tuple[int, int]] = None,
         tokenizer=None,
+        image_dtype: str = "float32",
     ):
         assert len(transform_keys) >= 1
         self.transforms = keys_to_transforms(transform_keys, image_size,
-                                             bucket_hw)
+                                             bucket_hw, image_dtype)
+        self.image_dtype = image_dtype
         self.text_column_name = text_column_name
         self.names = list(names)
         self.max_text_len = max_text_len
@@ -206,25 +208,27 @@ def _images_to_patch_rows(imgs: Sequence[np.ndarray], H: int, W: int,
                           P: int) -> np.ndarray:
     """Per-sample images scattered straight into zero-padded patch rows
     — the (B, H, W, 3) canvas is never materialized.  The C++ scatter
-    (data/_native/imageproc.cpp:ip_image_to_patch_rows) is row-segment
-    memcpy; numpy's 6-D-transpose path measured ~2 s per b64 batch
-    (generic strided iterator), the scatter ~30 ms."""
+    (data/_native/imageproc.cpp:ip_image_to_patch_rows[_u8]) is
+    row-segment memcpy; numpy's 6-D-transpose path measured ~2 s per
+    b64 batch (generic strided iterator), the scatter ~30 ms.  Dtype
+    follows the inputs (u8 wire format or normalized f32)."""
     B = len(imgs)
     gh, gw = H // P, W // P
-    out = np.zeros((B, gh * gw, P * P * 3), np.float32)
+    dtype = np.uint8 if imgs and imgs[0].dtype == np.uint8 else np.float32
+    out = np.zeros((B, gh * gw, P * P * 3), dtype)
     from rmcl_tpu.data import _native
     lib = _native.load_imageproc()
     if lib is not None:
         ok = True
         for bi, im in enumerate(imgs):
-            a = np.ascontiguousarray(im[:H, :W], np.float32)
+            a = np.ascontiguousarray(im[:H, :W], dtype)
             if _native.image_to_patch_rows(lib, a, H, W, P, out[bi]):
                 ok = False
                 break
         if ok:
             return out
     # numpy fallback: canvas + transpose
-    canvas = np.zeros((B, H, W, 3), np.float32)
+    canvas = np.zeros((B, H, W, 3), dtype)
     for bi, im in enumerate(imgs):
         h, w = im.shape[:2]
         canvas[bi, :min(h, H), :min(w, W)] = im[:H, :W]
@@ -249,21 +253,35 @@ def collate(batch: List[Dict[str, Any]], mlm_collator,
     for k in img_keys:
         views = out[k]            # per-sample list of per-transform arrays
         n_views = len(views[0])
-        stacked = []
+        stacked, hws = [], []
         for vi in range(n_views):
             imgs = [v[vi] for v in views]
+            if n_views > 1 and imgs and imgs[0].dtype == np.uint8:
+                # multi-view batches keep the f32 wire format (the u8
+                # hw-metadata contract is single-view); same LUT math
+                imgs = [((im.astype(np.float32) / 255.0) - 0.5) / 0.5
+                        for im in imgs]
             H, W = _canvas_shape(imgs, bucket_hw)
+            hws.append(np.asarray(
+                [[min(im.shape[0], H), min(im.shape[1], W)]
+                 for im in imgs], np.int32))
             if image_layout == "patch":
                 stacked.append(
                     _images_to_patch_rows(imgs, H, W, patch_size))
                 continue
-            canvas = np.zeros((B, H, W, 3), np.float32)
+            canvas = np.zeros(
+                (B, H, W, 3),
+                np.uint8 if imgs[0].dtype == np.uint8 else np.float32)
             for bi, im in enumerate(imgs):
                 h, w = im.shape[:2]
-                canvas[bi, :h, :w] = im[:H, :W]
+                canvas[bi, :min(h, H), :min(w, W)] = im[:H, :W]
             stacked.append(canvas)
         # single-transform fast path: plain array (model API takes one view)
         out[k] = stacked[0] if n_views == 1 else stacked
+        if n_views == 1 and stacked[0].dtype == np.uint8:
+            # u8 wire format: per-sample valid (h, w) — the device
+            # rebuilds the exact zero-padding rect at program entry
+            out[f"{k}_hw"] = hws[0]
 
     txt_keys = [k for k in out if "text" in k]
     for k in txt_keys:

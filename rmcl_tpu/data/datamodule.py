@@ -72,6 +72,7 @@ class MultitaskDataModule:
             bucket_hw=cfg.image_bucket_hw,
             tokenizer=self.tokenizer,
             split=split,
+            image_dtype=cfg.image_dtype,
         )
         return cls(**kw)
 

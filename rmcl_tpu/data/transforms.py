@@ -191,10 +191,13 @@ def _native_resize(lib, arr: np.ndarray, neww: int, newh: int) -> np.ndarray:
 
 
 def _native_pixelbert(lib, img: Image.Image, size: int, longer: int,
-                      bucket_hw: Optional[Tuple[int, int]]) -> np.ndarray:
+                      bucket_hw: Optional[Tuple[int, int]],
+                      out_dtype: str = "float32") -> np.ndarray:
     """C++ resize chain + fused normalize — BIT-IDENTICAL to the PIL
     path (ip_resize_bicubic_u8 reproduces Pillow's fixed-point bicubic
-    exactly; parity asserted in tests/test_extensions.py)."""
+    exactly; parity asserted in tests/test_extensions.py).  With
+    out_dtype="uint8" the normalize is skipped — the device applies the
+    identical (x/255 - 0.5)/0.5 at program entry (PARITY #26)."""
     import ctypes
     arr = np.ascontiguousarray(np.asarray(img.convert("RGB"), np.uint8))
     h, w = arr.shape[:2]
@@ -209,6 +212,8 @@ def _native_pixelbert(lib, img: Image.Image, size: int, longer: int,
         newh = max(int(h * s) // 32 * 32, 32)
         arr = _native_resize(lib, arr, neww, newh)
         h, w = newh, neww
+    if out_dtype == "uint8":
+        return arr
     out = np.empty((h, w, 3), np.float32)
     lib.ip_normalize_hwc(
         arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), h, w, 3,
@@ -219,8 +224,11 @@ def _native_pixelbert(lib, img: Image.Image, size: int, longer: int,
 # ------------------------------------------------------------- pipelines
 def pixelbert_transform(size: int = 800,
                         bucket_hw: Optional[Tuple[int, int]] = None,
-                        randaug: bool = False) -> Callable:
-    """PIL -> (H, W, 3) float32 in [-1, 1] (reference pixelbert.py:8-30).
+                        randaug: bool = False,
+                        out_dtype: str = "float32") -> Callable:
+    """PIL -> (H, W, 3) float32 in [-1, 1] (reference pixelbert.py:8-30),
+    or raw uint8 when out_dtype="uint8" (device-side normalize, 4x less
+    host->device traffic; see models/vit.py normalize_image_inputs).
 
     Uses the native C++ resize+normalize (data/_native/imageproc.cpp)
     when available — bit-identical results, one fused pass instead of
@@ -233,23 +241,29 @@ def pixelbert_transform(size: int = 800,
             img = ra(img)
         lib = _native_imageproc()
         if lib is not None:
-            return _native_pixelbert(lib, img, size, longer, bucket_hw)
+            return _native_pixelbert(lib, img, size, longer, bucket_hw,
+                                     out_dtype)
         img = min_max_resize(img, shorter=size, longer=longer)
         if bucket_hw is not None:
             img = fit_bucket(img, bucket_hw)
+        if out_dtype == "uint8":
+            return np.ascontiguousarray(
+                np.asarray(img.convert("RGB"), np.uint8))
         return to_normalized_array(img)
 
     return tr
 
 
 _TRANSFORMS = {
-    "pixelbert": lambda size, bucket: pixelbert_transform(size, bucket, False),
-    "pixelbert_randaug": lambda size, bucket: pixelbert_transform(size, bucket, True),
+    "pixelbert": lambda size, bucket, dt: pixelbert_transform(
+        size, bucket, False, dt),
+    "pixelbert_randaug": lambda size, bucket, dt: pixelbert_transform(
+        size, bucket, True, dt),
 }
 
 
 def keys_to_transforms(keys: Sequence[str], size: int,
-                       bucket_hw: Optional[Tuple[int, int]] = None
-                       ) -> List[Callable]:
+                       bucket_hw: Optional[Tuple[int, int]] = None,
+                       out_dtype: str = "float32") -> List[Callable]:
     """Registry (reference vilt/transforms/__init__.py:6-13)."""
-    return [_TRANSFORMS[k](size, bucket_hw) for k in keys]
+    return [_TRANSFORMS[k](size, bucket_hw, out_dtype) for k in keys]

@@ -172,6 +172,8 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     for ii in my_iis:
         row = img_rows[ii]
         img = dset.get_image(row_to_sample[row])["image"][0]
+        if img.dtype == np.uint8:    # u8 wire format: host LUT normalize
+            img = ((img.astype(np.float32) / 255.0) - 0.5) / 0.5
         H, W = cfg.image_bucket_hw
         canvas = np.zeros((1, H, W, 3), np.float32)
         canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]

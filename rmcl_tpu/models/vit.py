@@ -299,6 +299,47 @@ def visual_embed(params, img, *, spec: ViTSpec, max_image_len: int = -1,
     return x, x_mask, (patch_index, (gh, gw)), labels
 
 
+# ---------------------------------------------------- u8 wire format
+def _normalize_u8(v, hw, grid_hw, P):
+    """(x/255 - 0.5)/0.5 in f32 — the SAME op sequence as the host LUT
+    (data/_native/imageproc.cpp:ip_normalize_hwc), so valid pixels are
+    bit-identical to the f32 pipeline; padding is forced to exactly 0.0
+    from the per-sample (h, w) rect (u8 padding is 0, which would
+    normalize to -1 and corrupt the pixel-derived validity masks)."""
+    x = (v.astype(jnp.float32) / 255.0 - 0.5) / 0.5
+    if hw is None:
+        return x
+    if v.ndim == 3:                       # patch rows (B, N, P*P*3)
+        if grid_hw is None or v.shape[1] != grid_hw[0] * grid_hw[1]:
+            return x                      # no static grid: plain norm
+        gw = grid_hw[1]
+        n = jnp.arange(v.shape[1], dtype=jnp.int32)
+        valid = ((n[None, :] // gw < hw[:, :1] // P)
+                 & (n[None, :] % gw < hw[:, 1:] // P))
+        return jnp.where(valid[..., None], x, 0.0)
+    yy = jnp.arange(v.shape[1], dtype=jnp.int32)[None, :, None]
+    xx = jnp.arange(v.shape[2], dtype=jnp.int32)[None, None, :]
+    valid = (yy < hw[:, 0, None, None]) & (xx < hw[:, 1, None, None])
+    return jnp.where(valid[..., None], x, 0.0)
+
+
+def normalize_image_inputs(batch, *, grid_hw, patch_size):
+    """Convert every uint8 image key of the u8 wire format (PARITY #26)
+    into the f32 pipeline's tensors, bit-exactly.  Ships 4x fewer
+    host->device bytes; call once at jitted-program entry.  No-op (and
+    no retrace hazard) when the batch already carries f32 images."""
+    out = None
+    for k in list(batch):
+        v = batch[k]
+        if (getattr(v, "dtype", None) == jnp.uint8 and "image" in k
+                and not k.endswith("_hw")):
+            if out is None:
+                out = dict(batch)
+            out[k] = _normalize_u8(v, batch.get(f"{k}_hw"),
+                                   grid_hw, patch_size)
+    return batch if out is None else out
+
+
 # ------------------------------------------- hoisted-geometry fast path
 class VisualPrep(NamedTuple):
     """δ-invariant visual-embed geometry, computed once from the CLEAN

@@ -169,9 +169,12 @@ def greedy_attack_extras(cfg: RMCLConfig, model, framework: str,
     then :277-285), so the attacker must see the post-EMA key encoder.
     """
     from rmcl_tpu.models.heads import barlowtwins_head, moco_head
+    from rmcl_tpu.models.vit import normalize_image_inputs
     from rmcl_tpu.objectives.contrastive import momentum_update
     from rmcl_tpu.objectives.losses import l2_normalize
 
+    batch = normalize_image_inputs(batch, grid_hw=cfg.grid_hw,
+                                   patch_size=cfg.patch_size)
     if framework == "moco":
         p = momentum_update(params, cfg.momentum)
         infer_k = model.infer_k(p, batch, deterministic=True)

@@ -153,6 +153,9 @@ def compute_all_tasks(cfg: RMCLConfig, model: ViLTModel, params, state,
                       batch, rng, *, train: bool) -> Tuple[Any, Dict, Any, Dict]:
     """Run every active task (reference forward vilt_module.py:420-469).
     Returns (total_loss, ret, new_params, new_state)."""
+    from rmcl_tpu.models.vit import normalize_image_inputs
+    batch = normalize_image_inputs(batch, grid_hw=cfg.grid_hw,
+                                   patch_size=cfg.patch_size)
     tasks = active_tasks(cfg)
     ret: Dict[str, Any] = {}
     new_params, new_state = params, dict(state)
@@ -364,9 +367,13 @@ def make_attacked_train_step(cfg: RMCLConfig, model: ViLTModel,
     attack_body = greedy.build_attack_body()
 
     def attacked_step(ts: TrainState, batch, rng):
+        from rmcl_tpu.models.vit import normalize_image_inputs
         tables = [batch[k] for k in TABLE_KEYS[:-1]]
         nw = batch["gw_nw"]
         clean = {k: v for k, v in batch.items() if k not in TABLE_KEYS}
+        # u8 wire format -> f32 ONCE; extras/attack/step all inherit
+        clean = normalize_image_inputs(clean, grid_hw=cfg.grid_hw,
+                                       patch_size=cfg.patch_size)
 
         # single source of truth with the pipeline path (train/loop.py)
         extras = greedy_attack_extras(cfg, model, framework,

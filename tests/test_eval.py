@@ -523,6 +523,8 @@ def test_attacked_recall_effectiveness(tmp_path):
         masks = np.asarray(txt["text"][1]["attention_mask"])[None]
         for r in range(n):
             img = dset.get_image(row_to_sample[r])["image"][0]
+            if img.dtype == np.uint8:   # u8 wire format (PARITY #26)
+                img = ((img.astype(np.float32) / 255.0) - 0.5) / 0.5
             canvas = np.zeros((1, H, W, 3), np.float32)
             canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]
             b = {"image": jnp.asarray(canvas), "text_ids": jnp.asarray(ids),
