@@ -207,8 +207,10 @@ def main():
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)
 
+    img_dt = os.environ.get("BENCH_IMAGE_DTYPE", "float32")
     batch = {k: jnp.asarray(v)
-             for k, v in _fake_batch(cfg, BATCH, with_views=True).items()}
+             for k, v in _fake_batch(cfg, BATCH, with_views=True,
+                                     image_dtype=img_dt).items()}
     rng = jax.random.PRNGKey(1)
 
     if GREEDY:
@@ -258,7 +260,8 @@ def main():
             from rmcl_tpu.train.step import create_train_state as _cts
             _, ts2, _ = _cts(jax.random.PRNGKey(0), cfg)
             b2 = {k: jnp.asarray(v) for k, v in
-                  _fake_batch(cfg, B2, with_views=True).items()}
+                  _fake_batch(cfg, B2, with_views=True,
+                              image_dtype=img_dt).items()}
             log(f"compiling (b{B2} step)...")
             t0 = time.perf_counter()
             ts2, m2 = step_fn(ts2, b2, rng)
