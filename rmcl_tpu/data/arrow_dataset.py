@@ -259,8 +259,8 @@ def collate(batch: List[Dict[str, Any]], mlm_collator,
             if n_views > 1 and imgs and imgs[0].dtype == np.uint8:
                 # multi-view batches keep the f32 wire format (the u8
                 # hw-metadata contract is single-view); same LUT math
-                imgs = [((im.astype(np.float32) / 255.0) - 0.5) / 0.5
-                        for im in imgs]
+                from rmcl_tpu.data.transforms import normalize_u8_array
+                imgs = [normalize_u8_array(im) for im in imgs]
             H, W = _canvas_shape(imgs, bucket_hw)
             hws.append(np.asarray(
                 [[min(im.shape[0], H), min(im.shape[1], W)]

@@ -67,8 +67,16 @@ def fit_bucket(img: Image.Image, bucket_hw: Tuple[int, int]) -> Image.Image:
 def to_normalized_array(img: Image.Image) -> np.ndarray:
     """(H, W, 3) float32 in [-1, 1] — ToTensor + inception_normalize
     (reference transforms/utils.py:46-49)."""
-    arr = np.asarray(img.convert("RGB"), np.float32) / 255.0
-    return (arr - 0.5) / 0.5
+    return normalize_u8_array(np.asarray(img.convert("RGB"), np.uint8))
+
+
+def normalize_u8_array(arr: np.ndarray) -> np.ndarray:
+    """uint8 -> float32 (x/255 - 0.5)/0.5 — the ONE host-side copy of
+    the normalize op order.  PARITY #26's bit-exactness guarantee
+    depends on every site (this, the C++ LUT ip_normalize_hwc, and the
+    device normalize models/vit.py:_normalize_u8) keeping exactly this
+    f32 sequence; do not algebraically rewrite one copy."""
+    return (arr.astype(np.float32) / 255.0 - 0.5) / 0.5
 
 
 # ------------------------------------------------------------- randaug ops

@@ -173,7 +173,8 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
         row = img_rows[ii]
         img = dset.get_image(row_to_sample[row])["image"][0]
         if img.dtype == np.uint8:    # u8 wire format: host LUT normalize
-            img = ((img.astype(np.float32) / 255.0) - 0.5) / 0.5
+            from rmcl_tpu.data.transforms import normalize_u8_array
+            img = normalize_u8_array(img)
         H, W = cfg.image_bucket_hw
         canvas = np.zeros((1, H, W, 3), np.float32)
         canvas[0, :img.shape[0], :img.shape[1]] = img[:H, :W]

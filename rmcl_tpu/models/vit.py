@@ -304,19 +304,26 @@ def _normalize_u8(v, hw, grid_hw, P):
     """(x/255 - 0.5)/0.5 in f32 — the SAME op sequence as the host LUT
     (data/_native/imageproc.cpp:ip_normalize_hwc), so valid pixels are
     bit-identical to the f32 pipeline; padding is forced to exactly 0.0
-    from the per-sample (h, w) rect (u8 padding is 0, which would
-    normalize to -1 and corrupt the pixel-derived validity masks)."""
+    from the per-sample (h, w) rect at PIXEL granularity (u8 padding is
+    0, which would normalize to -1 and corrupt the pixel-derived
+    validity masks; per-pixel so partial edge patches of non-/P images
+    keep exactly the pixels the f32 canvas keeps)."""
     x = (v.astype(jnp.float32) / 255.0 - 0.5) / 0.5
     if hw is None:
         return x
     if v.ndim == 3:                       # patch rows (B, N, P*P*3)
         if grid_hw is None or v.shape[1] != grid_hw[0] * grid_hw[1]:
-            return x                      # no static grid: plain norm
+            raise ValueError(
+                f"u8 patch-row batch with hw metadata needs the static "
+                f"bucket grid: got N={v.shape[1]}, grid_hw={grid_hw}")
         gw = grid_hw[1]
-        n = jnp.arange(v.shape[1], dtype=jnp.int32)
-        valid = ((n[None, :] // gw < hw[:, :1] // P)
-                 & (n[None, :] % gw < hw[:, 1:] // P))
-        return jnp.where(valid[..., None], x, 0.0)
+        n = jnp.arange(v.shape[1], dtype=jnp.int32)          # (N,)
+        e = jnp.arange(v.shape[2], dtype=jnp.int32)          # (P*P*3,)
+        py = (n // gw)[:, None] * P + e[None, :] // (P * 3)  # (N, E) pixel y
+        px = (n % gw)[:, None] * P + (e[None, :] % (P * 3)) // 3
+        valid = ((py[None] < hw[:, 0, None, None])
+                 & (px[None] < hw[:, 1, None, None]))        # (B, N, E)
+        return jnp.where(valid, x, 0.0)
     yy = jnp.arange(v.shape[1], dtype=jnp.int32)[None, :, None]
     xx = jnp.arange(v.shape[2], dtype=jnp.int32)[None, None, :]
     valid = (yy < hw[:, 0, None, None]) & (xx < hw[:, 1, None, None])

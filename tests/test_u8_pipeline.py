@@ -43,7 +43,9 @@ def test_normalize_image_inputs_bitwise(layout):
 
     rng = np.random.RandomState(0)
     H, W, P = 96, 128, 32
-    sizes = [(96, 96), (64, 128), (32, 32)]
+    # (33, 47): partial edge patches — the per-pixel metadata mask must
+    # keep exactly the pixels the f32 canvas keeps inside them
+    sizes = [(96, 96), (64, 128), (32, 32), (33, 47)]
     imgs_u8 = [rng.randint(0, 255, (h, w, 3), np.uint8) for h, w in sizes]
     imgs_f32 = [((u.astype(np.float32) / 255.0) - 0.5) / 0.5
                 for u in imgs_u8]
