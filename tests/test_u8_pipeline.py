@@ -141,3 +141,60 @@ def test_padding_region_exact_zero():
     a = np.asarray(out["image"])
     assert a[0, 1:].max() == 0.0 and a[0, 1:].min() == 0.0
     assert abs(a[0, 0, 0] - ((128 / 255.0 - 0.5) / 0.5)) < 1e-7
+
+
+def test_nlvr2_u8_two_image_step_8dev():
+    """u8 wire format through the two-image NLVR2 attacked step on an
+    8-device DP mesh: image_0/image_1 (+ their _hw metadata) normalize
+    independently, and the (B, 2) hw keys shard over the data axis."""
+    from rmcl_tpu.parallel import make_mesh, shard_batch
+    from rmcl_tpu.train.step import create_train_state, make_train_step
+    from tests.conftest import make_fake_batch
+
+    assert jax.device_count() >= 8
+    cfg = build_config(
+        hidden_size=32, num_heads=2, num_layers=2, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=10,
+        vocab_size=64, loss_names=loss_names({"nlvr2_attacked": 1}),
+        use_pallas_attention=False, compute_dtype="float32", drop_rate=0.0,
+        max_steps=100, warmup_steps=0, image_view=True,
+        adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+        attack_idx=(True, False))
+    mesh = make_mesh(jax.devices()[:8])
+    P = cfg.patch_size
+    gh, gw = cfg.grid_hw
+
+    def to_u8(rows):
+        rows = np.asarray(rows)
+        u8 = np.clip((rows * 0.5 + 0.5) * 255.0 + 0.5,
+                     0, 255).astype(np.uint8)
+        q = ((u8.astype(np.float32) / 255.0) - 0.5) / 0.5
+        return u8, q
+
+    b = make_fake_batch(cfg, batch=8, valid_hw=(gh * P, gw * P))
+    base = {k: jnp.asarray(v) for k, v in b.items()}
+    img1 = make_fake_batch(cfg, batch=8, seed=3,
+                           valid_hw=(gh * P, gw * P))["image"]
+    u80, q0 = to_u8(base.pop("image"))
+    u81, q1 = to_u8(img1)
+    hw = np.asarray([[gh * P, gw * P]] * 8, np.int32)
+    base["answers"] = jnp.asarray(np.arange(8) % 2, jnp.int32)
+
+    def run(image_0, image_1, extra):
+        model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+        step_fn = make_train_step(cfg, model, tx, mesh=mesh, donate=False)
+        batch = dict(base, image_0=jnp.asarray(image_0),
+                     image_1=jnp.asarray(image_1), **extra)
+        batch = shard_batch(batch, mesh)
+        _, m = step_fn(ts, batch, jax.random.PRNGKey(1))
+        return m
+
+    m32 = run(q0, q1, {})
+    m8 = run(u80, u81, {"image_0_hw": jnp.asarray(hw),
+                        "image_1_hw": jnp.asarray(hw)})
+    np.testing.assert_allclose(
+        np.asarray(m32["nlvr2_original_loss"]),
+        np.asarray(m8["nlvr2_original_loss"]), rtol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(m32["nlvr2_attacked_loss"]),
+        np.asarray(m8["nlvr2_attacked_loss"]), rtol=1e-5)
