@@ -19,6 +19,8 @@ import subprocess
 import threading
 from typing import Optional
 
+import numpy as np
+
 _DIR = os.path.dirname(os.path.abspath(__file__))
 _SRC = os.path.join(_DIR, "wordpiece.cpp")
 _SO = os.path.join(_DIR, "_wordpiece.so")
@@ -109,7 +111,6 @@ def _bind_imageproc(lib):
 def image_to_patch_rows(lib, img, H: int, W: int, P: int, out_rows) -> int:
     """Scatter one contiguous f32/u8 (h, w, 3) image into a pre-zeroed
     (gh*gw, P*P*3) patch-row batch element (see imageproc.cpp)."""
-    import numpy as np
     if img.dtype == np.uint8:
         u8p = ctypes.POINTER(ctypes.c_uint8)
         return lib.ip_image_to_patch_rows_u8(

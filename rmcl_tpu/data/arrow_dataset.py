@@ -253,7 +253,7 @@ def collate(batch: List[Dict[str, Any]], mlm_collator,
     for k in img_keys:
         views = out[k]            # per-sample list of per-transform arrays
         n_views = len(views[0])
-        stacked, hws = [], []
+        stacked = []
         for vi in range(n_views):
             imgs = [v[vi] for v in views]
             if n_views > 1 and imgs and imgs[0].dtype == np.uint8:
@@ -262,26 +262,25 @@ def collate(batch: List[Dict[str, Any]], mlm_collator,
                 from rmcl_tpu.data.transforms import normalize_u8_array
                 imgs = [normalize_u8_array(im) for im in imgs]
             H, W = _canvas_shape(imgs, bucket_hw)
-            hws.append(np.asarray(
-                [[min(im.shape[0], H), min(im.shape[1], W)]
-                 for im in imgs], np.int32))
             if image_layout == "patch":
                 stacked.append(
                     _images_to_patch_rows(imgs, H, W, patch_size))
-                continue
-            canvas = np.zeros(
-                (B, H, W, 3),
-                np.uint8 if imgs[0].dtype == np.uint8 else np.float32)
-            for bi, im in enumerate(imgs):
-                h, w = im.shape[:2]
-                canvas[bi, :min(h, H), :min(w, W)] = im[:H, :W]
-            stacked.append(canvas)
+            else:
+                canvas = np.zeros(
+                    (B, H, W, 3),
+                    np.uint8 if imgs[0].dtype == np.uint8 else np.float32)
+                for bi, im in enumerate(imgs):
+                    h, w = im.shape[:2]
+                    canvas[bi, :min(h, H), :min(w, W)] = im[:H, :W]
+                stacked.append(canvas)
+            if n_views == 1 and stacked[0].dtype == np.uint8:
+                # u8 wire format: per-sample valid (h, w) — the device
+                # rebuilds the exact zero-padding rect at program entry
+                out[f"{k}_hw"] = np.asarray(
+                    [[min(im.shape[0], H), min(im.shape[1], W)]
+                     for im in imgs], np.int32)
         # single-transform fast path: plain array (model API takes one view)
         out[k] = stacked[0] if n_views == 1 else stacked
-        if n_views == 1 and stacked[0].dtype == np.uint8:
-            # u8 wire format: per-sample valid (h, w) — the device
-            # rebuilds the exact zero-padding rect at program entry
-            out[f"{k}_hw"] = hws[0]
 
     txt_keys = [k for k in out if "text" in k]
     for k in txt_keys:

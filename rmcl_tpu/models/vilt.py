@@ -253,9 +253,11 @@ def infer(params, batch, *, cfg: RMCLConfig, spec: Optional[ViTSpec] = None,
 
     if image_embeds is None and image_masks is None:
         img = batch[imgkey]
-        if img.dtype == jnp.uint8:    # u8 wire format (defensive: the
-            from rmcl_tpu.models.vit import _normalize_u8  # jitted
-            img = _normalize_u8(      # entry points normalize batches)
+        if img.dtype == jnp.uint8:
+            # u8 wire format — defensive; the jitted entry points
+            # already normalize whole batches (PARITY #26)
+            from rmcl_tpu.models.vit import _normalize_u8
+            img = _normalize_u8(
                 img, batch.get(f"{imgkey}_hw"), cfg.grid_hw, cfg.patch_size)
         image_embeds, image_masks, patch_index, image_labels = visual_embed(
             tr, img, spec=spec, max_image_len=cfg.max_image_len,

@@ -3,8 +3,6 @@
 asserts BIT-equality against the f32 pipeline — same (x/255-0.5)/0.5
 f32 op order, padding forced to exactly 0.0 from the metadata rect."""
 
-import io
-
 import jax
 import jax.numpy as jnp
 import numpy as np
