@@ -62,6 +62,33 @@ def main(argv: List[str] = None) -> int:
         WRITERS[name](root, out)
         return 0
 
+    if argv[0] == "export":
+        # rmcl export <task> <out.stablehlo> [batch_size=N] with <cfg> ...
+        from rmcl_tpu.serve import TASKS, export_inference
+        if len(argv) < 3 or argv[1] not in TASKS:
+            print(f"usage: rmcl export {{{'|'.join(TASKS)}}} OUT "
+                  f"[batch_size=N] with <named_config> load_path=...")
+            return 2
+        task, out = argv[1], argv[2]
+        rest = argv[3:]
+        bs = 1
+        if rest and rest[0].startswith("batch_size="):
+            bs = int(rest[0].split("=", 1)[1])
+            rest = rest[1:]
+        if rest and rest[0] == "with":
+            rest = rest[1:]
+        names, overrides = parse_with(rest)
+        cfg = build_config(*names, **overrides)
+        import jax
+        from rmcl_tpu.models.vilt import init_vilt
+        from rmcl_tpu.train.loop import load_initial_params
+        params, state = init_vilt(jax.random.PRNGKey(cfg.seed), cfg)
+        params, _ = load_initial_params(cfg, params, state)
+        blob = export_inference(cfg, params, task, bs, out_path=out)
+        print(f"[rmcl] exported {task} (batch {bs}, "
+              f"{cfg.image_dtype} wire) -> {out} ({len(blob)} bytes)")
+        return 0
+
     if argv[0] == "with":
         argv = argv[1:]
     names, overrides = parse_with(argv)

@@ -215,6 +215,50 @@ def make_greedy_extras_fn(cfg: RMCLConfig, model):
     return lambda ts, batch: f(ts.params, ts.state, batch)
 
 
+def load_initial_params(cfg, params, state):
+    """cfg.load_path handling (reference vilt_module.py:134-160
+    train / :256-268 test): torch .ckpt files are converted with
+    optional MLM/ITM head grafting from vilt_200k_mlm_itm; missing
+    modules keep their fresh init (load_state_dict(strict=False)).
+    Module-level so serving export (rmcl_tpu/serve.py) shares the
+    exact Trainer loading semantics."""
+    if not cfg.load_path:
+        return params, state
+    ckpt_dir = _resolve_ckpt_dir(cfg.load_path)
+    if ckpt_dir:
+        # orbax checkpoint dir (written by CheckpointManager):
+        # restore params/state into the fresh-init template
+        import orbax.checkpoint as ocp
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(ckpt_dir))
+        print(f"[rmcl] restored orbax checkpoint {ckpt_dir}")
+        return restored["params"], restored.get("state", state)
+    from rmcl_tpu.compat import load_torch_checkpoint
+    pre = None
+    needs_graft = (cfg.loss_names.get("mlm", 0) > 0
+                   or cfg.loss_names.get("itm", 0) > 0)
+    for cand in ("models_weight/vilt_200k_mlm_itm.ckpt",
+                 "../models_weight/vilt_200k_mlm_itm.ckpt"):
+        if needs_graft and os.path.isfile(cand):
+            pre = cand
+            break
+    loaded_p, loaded_s = load_torch_checkpoint(
+        cfg.load_path, cfg, pretrain_head_path=pre)
+
+    def merge(init, loaded):
+        if isinstance(init, dict) and isinstance(loaded, dict):
+            out = dict(init)
+            for k, v in loaded.items():
+                out[k] = merge(init[k], v) if k in init else v
+            return out
+        return loaded
+
+    print(f"[rmcl] loaded torch checkpoint {cfg.load_path} "
+          f"({len(loaded_p)} top-level modules"
+          f"{', heads grafted from ' + pre if pre else ''})")
+    return merge(params, loaded_p), merge(state, loaded_s)
+
+
 class Trainer:
     def __init__(self, cfg: RMCLConfig, workdir: str = "result",
                  datamodule: Optional[MultitaskDataModule] = None,
@@ -231,46 +275,7 @@ class Trainer:
 
     # ----------------------------------------------------------- assembly
     def _load_initial(self, params, state):
-        """cfg.load_path handling (reference vilt_module.py:134-160
-        train / :256-268 test): torch .ckpt files are converted with
-        optional MLM/ITM head grafting from vilt_200k_mlm_itm; missing
-        modules keep their fresh init (load_state_dict(strict=False))."""
-        cfg = self.cfg
-        if not cfg.load_path:
-            return params, state
-        ckpt_dir = _resolve_ckpt_dir(cfg.load_path)
-        if ckpt_dir:
-            # orbax checkpoint dir (written by CheckpointManager):
-            # restore params/state into the fresh-init template
-            import orbax.checkpoint as ocp
-            restored = ocp.StandardCheckpointer().restore(
-                os.path.abspath(ckpt_dir))
-            print(f"[rmcl] restored orbax checkpoint {ckpt_dir}")
-            return restored["params"], restored.get("state", state)
-        from rmcl_tpu.compat import load_torch_checkpoint
-        pre = None
-        needs_graft = (cfg.loss_names.get("mlm", 0) > 0
-                       or cfg.loss_names.get("itm", 0) > 0)
-        for cand in ("models_weight/vilt_200k_mlm_itm.ckpt",
-                     "../models_weight/vilt_200k_mlm_itm.ckpt"):
-            if needs_graft and os.path.isfile(cand):
-                pre = cand
-                break
-        loaded_p, loaded_s = load_torch_checkpoint(
-            cfg.load_path, cfg, pretrain_head_path=pre)
-
-        def merge(init, loaded):
-            if isinstance(init, dict) and isinstance(loaded, dict):
-                out = dict(init)
-                for k, v in loaded.items():
-                    out[k] = merge(init[k], v) if k in init else v
-                return out
-            return loaded
-
-        print(f"[rmcl] loaded torch checkpoint {cfg.load_path} "
-              f"({len(loaded_p)} top-level modules"
-              f"{', heads grafted from ' + pre if pre else ''})")
-        return merge(params, loaded_p), merge(state, loaded_s)
+        return load_initial_params(self.cfg, params, state)
 
     def setup(self, params=None, state=None):
         cfg = self.cfg
