@@ -36,13 +36,22 @@ def ensure_compilation_cache() -> None:
     recovery, eval re-run) replays the compiled executable in ~1 s.
     Directory from $RMCL_COMPILE_CACHE (set to "0" to disable),
     default ~/.cache/rmcl_tpu/xla.  Library code never calls this —
-    entry points only, before the first compile."""
+    entry points only, before the first compile.
+
+    TPU backends only: this jaxlib's CPU backend cannot round-trip the
+    big one-program executable through the cache — the entry writes
+    fine but deserializing it aborts the process (reproduced: write
+    run green, identical re-run with the warm entry dies with a Fatal
+    Python error inside the jitted call).  The cache's payoff is TPU
+    restart recovery anyway; CPU runs just recompile."""
     path = os.environ.get("RMCL_COMPILE_CACHE",
                           os.path.expanduser("~/.cache/rmcl_tpu/xla"))
     if not path or path == "0":
         return
     try:
         import jax
+        if jax.default_backend() != "tpu":
+            return
         os.makedirs(path, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", path)
         # cache everything that took >1s to compile (default 60s would

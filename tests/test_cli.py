@@ -103,3 +103,20 @@ def test_cli_fast_dev_run_end_to_end(tmp_path, capsys):
     assert "[rmcl] exp=" in out
     assert "mlm" in out and "itm" in out
     assert "the_metric" in out or "val" in out.lower()
+
+
+def test_compile_cache_never_enabled_on_cpu(tmp_path, monkeypatch):
+    """The persistent compilation cache is TPU-only: this jaxlib's CPU
+    backend aborts the process deserializing the big one-program
+    executable (write run green, warm re-run fatal), so on CPU
+    ensure_compilation_cache() must leave jax.config untouched even
+    with an explicit cache dir requested."""
+    import jax
+
+    from rmcl_tpu.core.tpu_env import ensure_compilation_cache
+
+    monkeypatch.setenv("RMCL_COMPILE_CACHE", str(tmp_path / "xla"))
+    before = jax.config.jax_compilation_cache_dir
+    ensure_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == before
+    assert not (tmp_path / "xla").exists()
