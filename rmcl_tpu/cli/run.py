@@ -6,6 +6,8 @@ Usage mirrors the reference exactly:
 plus:
     rmcl configs                 # list named configs
     rmcl prepare nlvr2 --root R --out O   # arrow conversion (prepare_data.py)
+    rmcl export vqa out.stablehlo with <cfg> load_path=...   # AOT artifact
+    rmcl serve out.stablehlo input=reqs.jsonl with <cfg> load_path=...
 """
 
 from __future__ import annotations
@@ -14,13 +16,7 @@ import ast
 import sys
 from typing import Any, Dict, List, Tuple
 
-from rmcl_tpu.core.tpu_env import (
-    ensure_compilation_cache, ensure_scoped_vmem_flag)
-
-ensure_scoped_vmem_flag()  # before first jax TPU touch (fused_train MLP)
-ensure_compilation_cache()  # restarts replay compiles from disk
-
-from rmcl_tpu.core.config import build_config, named_configs  # noqa: E402
+from rmcl_tpu.core.config import build_config, named_configs
 
 
 def parse_with(argv: List[str]) -> Tuple[List[str], Dict[str, Any]]:
@@ -39,6 +35,15 @@ def parse_with(argv: List[str]) -> Tuple[List[str], Dict[str, Any]]:
 
 
 def main(argv: List[str] = None) -> int:
+    # entry-point (not import-time) process setup: raising the TPU
+    # scoped-vmem limit must precede the first libtpu touch, and the
+    # persistent compile cache is a global jax.config mutation that
+    # merely importing this module must not inflict on the process
+    from rmcl_tpu.core.tpu_env import (
+        ensure_compilation_cache, ensure_scoped_vmem_flag)
+    ensure_scoped_vmem_flag()   # before first jax TPU touch (fused_train MLP)
+    ensure_compilation_cache()  # restarts replay compiles from disk (TPU)
+
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
@@ -87,6 +92,58 @@ def main(argv: List[str] = None) -> int:
         blob = export_inference(cfg, params, task, bs, out_path=out)
         print(f"[rmcl] exported {task} (batch {bs}, "
               f"{cfg.image_dtype} wire) -> {out} ({len(blob)} bytes)")
+        return 0
+
+    if argv[0] == "serve":
+        # rmcl serve <artifact> [input=F] [output=F] with <cfg> load_path=...
+        # requests: one JSON per line, {"image": path, "text": str}
+        from rmcl_tpu.serve import ArtifactSession, postprocess
+        if len(argv) < 2:
+            print("usage: rmcl serve ARTIFACT [input=FILE] [output=FILE] "
+                  "with <named_config> load_path=...")
+            return 2
+        art = argv[1]
+        rest, inp, outp = argv[2:], None, None
+        while rest and rest[0].split("=", 1)[0] in ("input", "output"):
+            k, v = rest[0].split("=", 1)
+            inp, outp = (v, outp) if k == "input" else (inp, v)
+            rest = rest[1:]
+        if rest and rest[0] == "with":
+            rest = rest[1:]
+        names, overrides = parse_with(rest)
+        cfg = build_config(*names, **overrides)
+        import json
+
+        import jax
+        from PIL import Image
+
+        from rmcl_tpu.data.tokenizer import get_tokenizer
+        from rmcl_tpu.models.vilt import init_vilt
+        from rmcl_tpu.train.loop import load_initial_params
+        params, state = init_vilt(jax.random.PRNGKey(cfg.seed), cfg)
+        params, _ = load_initial_params(cfg, params, state)
+        tok = get_tokenizer(cfg.tokenizer)
+        sess = ArtifactSession.open(art, params, tok)
+        with (open(inp) if inp else sys.stdin) as fin:
+            reqs = [json.loads(ln) for ln in fin if ln.strip()]
+        if not reqs:
+            print("[rmcl] no requests", file=sys.stderr)
+            return 0
+        images = [Image.open(r["image"]) for r in reqs]
+        texts = [r["text"] for r in reqs]
+        out = sess.predict(images, texts)
+        ids = tok(texts, max_length=sess.meta["max_text_len"],
+                  padding="max_length", return_tensors="np")["input_ids"]
+        recs = postprocess(sess.meta["task"], out, tokenizer=tok,
+                           text_ids=ids)
+        fout = open(outp, "w") if outp else sys.stdout
+        for r in recs:
+            fout.write(json.dumps(r) + "\n")
+        if outp:
+            fout.close()
+        print(f"[rmcl] served {len(recs)} {sess.meta['task']} requests "
+              f"(artifact batch {sess.meta['batch_size']})",
+              file=sys.stderr)
         return 0
 
     if argv[0] == "with":

@@ -30,7 +30,8 @@ artifacts take normalized rows.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+import json
+from typing import Dict, List, Optional, Sequence
 
 TASKS = ("mlm", "itm", "rank", "vqa", "embed")
 # head params each task serves from (created by init_vilt for the
@@ -92,9 +93,27 @@ def batch_spec(cfg, batch_size: int) -> Dict[str, "jax.ShapeDtypeStruct"]:
     return spec
 
 
+def export_meta(cfg, task: str, batch_size: int) -> Dict:
+    """Self-description a serving host needs to preprocess requests for
+    the artifact (written as an `<out_path>.json` sidecar): the fixed
+    shapes plus the host-side image/text pipeline parameters."""
+    return {
+        "task": task,
+        "batch_size": batch_size,
+        "image_dtype": cfg.image_dtype,
+        "image_layout": cfg.image_layout,
+        "patch_size": cfg.patch_size,
+        "image_size": cfg.image_size,
+        "image_bucket_hw": list(cfg.image_bucket_hw),
+        "max_text_len": cfg.max_text_len,
+        "tokenizer": cfg.tokenizer,
+    }
+
+
 def export_inference(cfg, params, task: str, batch_size: int,
                      out_path: Optional[str] = None) -> bytes:
-    """Serialize the task's inference program; optionally write it."""
+    """Serialize the task's inference program; optionally write it
+    (plus an `<out_path>.json` metadata sidecar, see export_meta)."""
     import jax
     from jax import export as jex
 
@@ -113,6 +132,8 @@ def export_inference(cfg, params, task: str, batch_size: int,
     if out_path:
         with open(out_path, "wb") as fh:
             fh.write(blob)
+        with open(out_path + ".json", "w") as fh:
+            json.dump(export_meta(cfg, task, batch_size), fh, indent=1)
     return bytes(blob)
 
 
@@ -126,3 +147,143 @@ def load_artifact(blob_or_path):
             blob = fh.read()
     exp = jex.deserialize(bytearray(blob))
     return lambda params, batch: exp.call(params, batch)
+
+
+class ArtifactSession:
+    """Serving runtime over an exported artifact: raw requests (PIL
+    image + text string) -> host preprocessing through the SAME
+    resize/normalize/patch-row/tokenize code paths training uses
+    (data/transforms.py, data/arrow_dataset.py) -> fixed-shape padded
+    batch -> artifact call -> unpadded outputs.
+
+    Replaces the reference's gradio process that holds the live torch
+    module (demo.py:34-160): here the model is the deserialized
+    StableHLO program; requests beyond the exported batch size are
+    chunked, short chunks are padded by repeating the first request
+    (padded rows are dropped before returning).
+    """
+
+    def __init__(self, artifact, params, tokenizer, meta: Dict):
+        self.fn = load_artifact(artifact)
+        self.params = params
+        self.tokenizer = tokenizer
+        self.meta = dict(meta)
+
+    @classmethod
+    def open(cls, path: str, params, tokenizer=None):
+        """Artifact + its `<path>.json` sidecar (see export_meta); the
+        tokenizer defaults to the one the config trained with."""
+        with open(path + ".json") as fh:
+            meta = json.load(fh)
+        if tokenizer is None:
+            from rmcl_tpu.data.tokenizer import get_tokenizer
+            tokenizer = get_tokenizer(meta["tokenizer"])
+        return cls(path, params, tokenizer, meta)
+
+    # ------------------------------------------------------- preprocessing
+    def _prep_image(self, image) -> "np.ndarray":
+        """PIL image (or HWC uint8 array) -> resized array in the wire
+        dtype, clipped to the bucket — per-sample half of the training
+        loader's image path."""
+        import numpy as np
+        from PIL import Image
+        from rmcl_tpu.data.transforms import (
+            fit_bucket, min_max_size, to_normalized_array)
+
+        if isinstance(image, np.ndarray):
+            image = Image.fromarray(image)
+        m = self.meta
+        longer = int((1333 / 800) * m["image_size"])
+        w, h = image.size
+        neww, newh = min_max_size(w, h, m["image_size"], longer)
+        # serving robustness: the reference MinMaxResize /32 floor
+        # (transforms/utils.py:5-27) yields size 0 for extreme aspect
+        # ratios and PIL raises; clamp to one patch instead of refusing
+        # the request (training keeps the reference-exact helper)
+        img = image.resize((max(neww, 32), max(newh, 32)), Image.BICUBIC)
+        img = fit_bucket(img, tuple(m["image_bucket_hw"]))
+        if m["image_dtype"] == "uint8":
+            return np.asarray(img.convert("RGB"), np.uint8)
+        return to_normalized_array(img)
+
+    def _assemble(self, images: Sequence, texts: Sequence[str]) -> Dict:
+        """<=B requests -> the exact fixed-shape batch_spec pytree."""
+        import numpy as np
+        from rmcl_tpu.data.arrow_dataset import _images_to_patch_rows
+
+        m, B = self.meta, self.meta["batch_size"]
+        n = len(images)
+        images = list(images) + [images[0]] * (B - n)   # pad by repeat
+        texts = list(texts) + [texts[0]] * (B - n)
+        arrs = [self._prep_image(im) for im in images]
+        H, W = m["image_bucket_hw"]
+        if m["image_layout"] == "patch":
+            image = _images_to_patch_rows(arrs, H, W, m["patch_size"])
+        else:
+            image = np.zeros(
+                (B, H, W, 3),
+                np.uint8 if m["image_dtype"] == "uint8" else np.float32)
+            for bi, a in enumerate(arrs):
+                image[bi, :a.shape[0], :a.shape[1]] = a[:H, :W]
+        enc = self.tokenizer(texts, max_length=m["max_text_len"],
+                             padding="max_length", return_tensors="np")
+        batch = {
+            "image": image,
+            "text_ids": np.asarray(enc["input_ids"], np.int32),
+            "text_masks": np.asarray(enc["attention_mask"], np.int32),
+        }
+        if m["image_dtype"] == "uint8":
+            batch["image_hw"] = np.asarray(
+                [[min(a.shape[0], H), min(a.shape[1], W)] for a in arrs],
+                np.int32)
+        return batch
+
+    # ------------------------------------------------------------- serving
+    def predict(self, images: Sequence, texts: Sequence[str]):
+        """n requests -> (n, ...) outputs, chunked over the exported
+        batch size."""
+        import numpy as np
+
+        if len(images) != len(texts):
+            raise ValueError("images and texts must pair 1:1")
+        B, outs = self.meta["batch_size"], []
+        for i in range(0, len(images), B):
+            chunk = slice(i, i + B)
+            n = len(images[chunk])
+            out = self.fn(self.params, self._assemble(
+                images[chunk], texts[chunk]))
+            outs.append(np.asarray(out)[:n])
+        return np.concatenate(outs, axis=0)
+
+
+def postprocess(task: str, out, tokenizer=None, text_ids=None,
+                topk: int = 5) -> List[Dict]:
+    """Raw artifact outputs -> JSON-serializable per-request records
+    (the `rmcl serve` response format)."""
+    import numpy as np
+
+    out = np.asarray(out, np.float32)
+    recs: List[Dict] = []
+    for i in range(out.shape[0]):
+        if task == "itm":
+            p = np.exp(out[i] - out[i].max())
+            p /= p.sum()
+            recs.append({"match_prob": float(p[1])})
+        elif task == "rank":
+            recs.append({"score": float(out[i])})
+        elif task == "embed":
+            recs.append({"embedding": [float(x) for x in out[i]]})
+        elif task == "vqa":
+            p = np.exp(out[i] - out[i].max())
+            p /= p.sum()
+            top = np.argsort(-p)[:topk]
+            recs.append({"answers": [[int(j), float(p[j])] for j in top]})
+        else:  # mlm: argmax token at each [MASK] position
+            ids = np.asarray(text_ids[i])
+            mask_id = tokenizer.mask_token_id
+            pos = np.where(ids == mask_id)[0]
+            pred = out[i].argmax(axis=-1)
+            recs.append({"fills": [
+                [int(p_), tokenizer.convert_ids_to_tokens(int(pred[p_]))]
+                for p_ in pos]})
+    return recs

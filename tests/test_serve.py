@@ -123,3 +123,129 @@ def test_cli_export(tmp_path):
 
 def test_all_tasks_listed():
     assert set(TASKS) == {"mlm", "itm", "rank", "vqa", "embed"}
+
+
+# ---------------------------------------------------------- runtime
+def _vocab(tmp_path):
+    from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
+    p = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(p, ["dog", "cat", "park", "the"])
+    return p, WordPieceTokenizer(p)
+
+
+def _pil_images(n, seed=0):
+    from PIL import Image
+    rng = np.random.default_rng(seed)
+    # deliberately varied raw sizes: exercises min_max_resize+fit_bucket
+    sizes = [(40, 56), (64, 32), (48, 48), (80, 40)]
+    return [Image.fromarray(
+        rng.integers(0, 256, (h, w, 3), dtype=np.uint8))
+        for (h, w) in (sizes[i % len(sizes)] for i in range(n))]
+
+
+def test_artifact_session_chunks_and_pads(tmp_path):
+    """predict() on n != exported-B requests: chunking + pad-by-repeat
+    reproduce per-request outputs exactly, through the real host
+    preprocessing (resize -> bucket -> patch rows -> tokenize)."""
+    from rmcl_tpu.serve import ArtifactSession, export_meta
+
+    cfg = _cfg("embed", image_dtype="uint8")
+    params = _params(cfg)
+    _, tok = _vocab(tmp_path)
+    path = str(tmp_path / "embed.stablehlo")
+    export_inference(cfg, params, "embed", 2, out_path=path)
+    import os
+    assert os.path.isfile(path + ".json")   # sidecar metadata
+
+    sess = ArtifactSession.open(path, params, tok)
+    assert sess.meta == export_meta(cfg, "embed", 2)
+
+    imgs = _pil_images(3)
+    texts = ["the dog", "a cat in the park", "dog park"]
+    out = sess.predict(imgs, texts)
+    assert out.shape == (3, 128)
+    # chunk 2 of predict(3) came from a padded half-batch; it must
+    # equal the same request served alone
+    solo = sess.predict(imgs[2:], texts[2:])
+    np.testing.assert_allclose(out[2], solo[0], rtol=1e-6, atol=1e-6)
+    # row order is request order
+    np.testing.assert_allclose(
+        out[:2], sess.predict(imgs[:2], texts[:2]), rtol=1e-6, atol=1e-6)
+
+
+def test_artifact_session_u8_matches_f32(tmp_path):
+    """The two wire formats serve identical results for identical
+    requests (the u8 artifact normalizes in-graph, PARITY #26)."""
+    from rmcl_tpu.serve import ArtifactSession
+
+    _, tok = _vocab(tmp_path)
+    imgs, texts = _pil_images(2, seed=3), ["the dog", "cat"]
+    outs = {}
+    for wire in ("uint8", "float32"):
+        cfg = _cfg("embed", image_dtype=wire)
+        params = _params(cfg)
+        path = str(tmp_path / f"{wire}.stablehlo")
+        export_inference(cfg, params, "embed", 2, out_path=path)
+        outs[wire] = ArtifactSession.open(path, params, tok).predict(
+            imgs, texts)
+    np.testing.assert_allclose(outs["uint8"], outs["float32"],
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_postprocess_records(tmp_path):
+    from rmcl_tpu.serve import postprocess
+
+    _, tok = _vocab(tmp_path)
+    assert postprocess("rank", np.asarray([1.5]))[0] == {"score": 1.5}
+    itm = postprocess("itm", np.asarray([[0.0, 0.0]]))[0]
+    assert abs(itm["match_prob"] - 0.5) < 1e-6
+    emb = postprocess("embed", np.eye(2, 4, dtype=np.float32))
+    assert len(emb) == 2 and len(emb[0]["embedding"]) == 4
+    vqa = postprocess("vqa", np.asarray([[0.0, 5.0, 1.0]]), topk=2)[0]
+    assert vqa["answers"][0][0] == 1 and len(vqa["answers"]) == 2
+    # mlm: argmax token reported at each [MASK] position
+    ids = tok(["the [MASK]"], max_length=6, padding="max_length",
+              return_tensors="np")["input_ids"]
+    pos = int(np.where(ids[0] == tok.mask_token_id)[0][0])
+    logits = np.zeros((1, 6, tok.vocab_size), np.float32)
+    dog = tok.convert_tokens_to_ids("dog")
+    logits[0, pos, dog] = 9.0
+    rec = postprocess("mlm", logits, tokenizer=tok, text_ids=ids)[0]
+    assert rec["fills"] == [[pos, "dog"]]
+
+
+def test_cli_serve_e2e(tmp_path):
+    """export -> serve over a JSONL request file reproduces the
+    ArtifactSession outputs (full CLI path, fresh-init params)."""
+    import json
+
+    from rmcl_tpu.cli.run import main as cli_main
+
+    vocab, tok = _vocab(tmp_path)
+    overrides = [
+        "hidden_size=32", "num_heads=2", "num_layers=1", "patch_size=16",
+        "image_size=32", "image_bucket_hw=(32,48)", "max_text_len=10",
+        "vocab_size=64", "use_pallas_attention=False",
+        "compute_dtype=float32", "drop_rate=0.0", "vqav2_label_size=7",
+        f"tokenizer={vocab}", "loss_names={'vqa': 1}", "seed=0"]
+    art = str(tmp_path / "vqa.stablehlo")
+    assert cli_main(["export", "vqa", art, "batch_size=2", "with",
+                     *overrides]) == 0
+
+    reqs = str(tmp_path / "reqs.jsonl")
+    outp = str(tmp_path / "out.jsonl")
+    imgs = _pil_images(3, seed=7)
+    with open(reqs, "w") as fh:
+        for i, im in enumerate(imgs):
+            ip = str(tmp_path / f"img{i}.png")
+            im.save(ip)
+            fh.write(json.dumps(
+                {"image": ip, "text": f"the dog {i}"}) + "\n")
+
+    assert cli_main(["serve", art, f"input={reqs}", f"output={outp}",
+                     "with", *overrides]) == 0
+    recs = [json.loads(ln) for ln in open(outp)]
+    assert len(recs) == 3
+    for r in recs:
+        assert len(r["answers"]) == 5
+        assert all(0.0 <= p <= 1.0 for _, p in r["answers"])
