@@ -251,10 +251,12 @@ def main():
         "mfu": round(mfu, 4),
     }
 
-    # larger-batch operating point: b64 amortizes the fixed costs
-    # (key fwd + EMA + AdamW + queue) 4x and is the production
-    # throughput point; b16 stays the recipe-faithful headline
-    B2 = int(os.environ.get("BENCH_BATCH2", "64"))
+    # larger-batch operating point: b128 amortizes the fixed costs
+    # (key fwd + EMA + AdamW + queue) 8x and is the measured
+    # production throughput point (119.6 pairs/s, 60.2% MFU; b256
+    # plateaus and OOM-crashes the greedy candidate batch); b16 stays
+    # the recipe-faithful headline
+    B2 = int(os.environ.get("BENCH_BATCH2", "128"))
     if on_tpu and B2 and B2 != BATCH:
         try:
             from rmcl_tpu.train.step import create_train_state as _cts
