@@ -192,6 +192,25 @@ def test_artifact_session_u8_matches_f32(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_artifact_session_hwc_layout_matches_patch(tmp_path):
+    """The hwc-canvas wire layout serves the same results as the
+    patch-row layout (same pixels, different device layout)."""
+    from rmcl_tpu.serve import ArtifactSession
+
+    _, tok = _vocab(tmp_path)
+    imgs, texts = _pil_images(2, seed=5), ["the dog", "a cat"]
+    outs = {}
+    for layout in ("patch", "hwc"):
+        cfg = _cfg("embed", image_dtype="float32", image_layout=layout)
+        params = _params(cfg)
+        path = str(tmp_path / f"{layout}.stablehlo")
+        export_inference(cfg, params, "embed", 2, out_path=path)
+        outs[layout] = ArtifactSession.open(path, params, tok).predict(
+            imgs, texts)
+    np.testing.assert_allclose(outs["patch"], outs["hwc"],
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_postprocess_records(tmp_path):
     from rmcl_tpu.serve import postprocess
 
