@@ -34,16 +34,21 @@ def parse_with(argv: List[str]) -> Tuple[List[str], Dict[str, Any]]:
     return names, overrides
 
 
-def main(argv: List[str] = None) -> int:
-    # entry-point (not import-time) process setup: raising the TPU
-    # scoped-vmem limit must precede the first libtpu touch, and the
-    # persistent compile cache is a global jax.config mutation that
-    # merely importing this module must not inflict on the process
+def _compute_setup() -> None:
+    """Process setup for the compute subcommands (export/serve/train):
+    raising the TPU scoped-vmem limit must precede the first libtpu
+    touch, and the persistent compile cache is a global jax.config
+    mutation (which also initializes the backend to check it is a
+    TPU) — neither belongs at module import, nor in the data-only
+    subcommands (configs/prepare/help), which must not grab the
+    exclusive TPU device."""
     from rmcl_tpu.core.tpu_env import (
         ensure_compilation_cache, ensure_scoped_vmem_flag)
     ensure_scoped_vmem_flag()   # before first jax TPU touch (fused_train MLP)
     ensure_compilation_cache()  # restarts replay compiles from disk (TPU)
 
+
+def main(argv: List[str] = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if not argv or argv[0] in ("-h", "--help"):
         print(__doc__)
@@ -84,6 +89,7 @@ def main(argv: List[str] = None) -> int:
             rest = rest[1:]
         names, overrides = parse_with(rest)
         cfg = build_config(*names, **overrides)
+        _compute_setup()
         import jax
         from rmcl_tpu.models.vilt import init_vilt
         from rmcl_tpu.train.loop import load_initial_params
@@ -104,7 +110,8 @@ def main(argv: List[str] = None) -> int:
             return 2
         art = argv[1]
         rest, inp, outp = argv[2:], None, None
-        while rest and rest[0].split("=", 1)[0] in ("input", "output"):
+        while rest and "=" in rest[0] and \
+                rest[0].split("=", 1)[0] in ("input", "output"):
             k, v = rest[0].split("=", 1)
             inp, outp = (v, outp) if k == "input" else (inp, v)
             rest = rest[1:]
@@ -112,6 +119,7 @@ def main(argv: List[str] = None) -> int:
             rest = rest[1:]
         names, overrides = parse_with(rest)
         cfg = build_config(*names, **overrides)
+        _compute_setup()
         import json
 
         import jax
@@ -129,21 +137,32 @@ def main(argv: List[str] = None) -> int:
         if not reqs:
             print("[rmcl] no requests", file=sys.stderr)
             return 0
-        images = [Image.open(r["image"]) for r in reqs]
-        texts = [r["text"] for r in reqs]
-        out = sess.predict(images, texts)
-        ids = tok(texts, max_length=sess.meta["max_text_len"],
-                  padding="max_length", return_tensors="np")["input_ids"]
-        recs = postprocess(sess.meta["task"], out, tokenizer=tok,
-                           text_ids=ids)
+        task, B = sess.meta["task"], sess.meta["batch_size"]
         fout = open(outp, "w") if outp else sys.stdout
-        for r in recs:
-            fout.write(json.dumps(r) + "\n")
+        served = 0
+        # stream in artifact-batch chunks: bounds open image fds at B
+        # (PIL holds the file until load) and keeps host memory flat
+        for i in range(0, len(reqs), B):
+            chunk = reqs[i:i + B]
+            images = []
+            for r in chunk:
+                with Image.open(r["image"]) as im:
+                    images.append(im.convert("RGB"))  # loads, frees fd
+            texts = [r["text"] for r in chunk]
+            out = sess.predict(images, texts)
+            ids = None
+            if task == "mlm":   # postprocess needs ids only for mlm
+                ids = tok(texts, max_length=sess.meta["max_text_len"],
+                          padding="max_length", truncation=True,
+                          return_tensors="np")["input_ids"]
+            for rec in postprocess(task, out, tokenizer=tok,
+                                   text_ids=ids):
+                fout.write(json.dumps(rec) + "\n")
+                served += 1
         if outp:
             fout.close()
-        print(f"[rmcl] served {len(recs)} {sess.meta['task']} requests "
-              f"(artifact batch {sess.meta['batch_size']})",
-              file=sys.stderr)
+        print(f"[rmcl] served {served} {task} requests "
+              f"(artifact batch {B})", file=sys.stderr)
         return 0
 
     if argv[0] == "with":
@@ -156,6 +175,7 @@ def main(argv: List[str] = None) -> int:
               f"  overrides must be valid RMCLConfig fields", file=sys.stderr)
         return 2
 
+    _compute_setup()
     import jax
     from rmcl_tpu.train.loop import Trainer
 

@@ -164,10 +164,17 @@ class ArtifactSession:
     """
 
     def __init__(self, artifact, params, tokenizer, meta: Dict):
+        from rmcl_tpu.data.transforms import pixelbert_transform
         self.fn = load_artifact(artifact)
         self.params = params
         self.tokenizer = tokenizer
         self.meta = dict(meta)
+        # the exact training image pipeline (resize -> bucket ->
+        # normalize-or-u8), incl. the fused native C++ fast path
+        self._transform = pixelbert_transform(
+            size=self.meta["image_size"],
+            bucket_hw=tuple(self.meta["image_bucket_hw"]),
+            out_dtype=self.meta["image_dtype"])
 
     @classmethod
     def open(cls, path: str, params, tokenizer=None):
@@ -196,15 +203,20 @@ class ArtifactSession:
         longer = int((1333 / 800) * m["image_size"])
         w, h = image.size
         neww, newh = min_max_size(w, h, m["image_size"], longer)
-        # serving robustness: the reference MinMaxResize /32 floor
-        # (transforms/utils.py:5-27) yields size 0 for extreme aspect
-        # ratios and PIL raises; clamp to one patch instead of refusing
-        # the request (training keeps the reference-exact helper)
-        img = image.resize((max(neww, 32), max(newh, 32)), Image.BICUBIC)
-        img = fit_bucket(img, tuple(m["image_bucket_hw"]))
-        if m["image_dtype"] == "uint8":
-            return np.asarray(img.convert("RGB"), np.uint8)
-        return to_normalized_array(img)
+        if neww < 32 or newh < 32:
+            # serving robustness: the reference MinMaxResize /32 floor
+            # (transforms/utils.py:5-27) yields size 0 for extreme
+            # aspect ratios and PIL raises; clamp to one patch instead
+            # of refusing the request (training keeps the
+            # reference-exact helper)
+            img = fit_bucket(
+                image.resize((max(neww, 32), max(newh, 32)),
+                             Image.BICUBIC),
+                tuple(m["image_bucket_hw"]))
+            if m["image_dtype"] == "uint8":
+                return np.asarray(img.convert("RGB"), np.uint8)
+            return to_normalized_array(img)
+        return self._transform(image)
 
     def _assemble(self, images: Sequence, texts: Sequence[str]) -> Dict:
         """<=B requests -> the exact fixed-shape batch_spec pytree."""
@@ -225,8 +237,13 @@ class ArtifactSession:
                 np.uint8 if m["image_dtype"] == "uint8" else np.float32)
             for bi, a in enumerate(arrs):
                 image[bi, :a.shape[0], :a.shape[1]] = a[:H, :W]
+        # truncation explicit: training tokenizes with truncation=True
+        # (data/arrow_dataset.py:139) and HF BertTokenizerFast does NOT
+        # truncate by default — an over-long request would otherwise
+        # break the fixed (B, T) artifact signature
         enc = self.tokenizer(texts, max_length=m["max_text_len"],
-                             padding="max_length", return_tensors="np")
+                             padding="max_length", truncation=True,
+                             return_tensors="np")
         batch = {
             "image": image,
             "text_ids": np.asarray(enc["input_ids"], np.int32),
@@ -246,6 +263,8 @@ class ArtifactSession:
 
         if len(images) != len(texts):
             raise ValueError("images and texts must pair 1:1")
+        if not images:
+            raise ValueError("predict() needs at least one request")
         B, outs = self.meta["batch_size"], []
         for i in range(0, len(images), B):
             chunk = slice(i, i + B)

@@ -16,6 +16,7 @@ Validation runs the same jitted eval step; epoch end assembles
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Any, Dict, Optional
 
@@ -231,7 +232,9 @@ def load_initial_params(cfg, params, state):
         import orbax.checkpoint as ocp
         restored = ocp.StandardCheckpointer().restore(
             os.path.abspath(ckpt_dir))
-        print(f"[rmcl] restored orbax checkpoint {ckpt_dir}")
+        # stderr: `rmcl serve` streams JSONL records on stdout
+        print(f"[rmcl] restored orbax checkpoint {ckpt_dir}",
+              file=sys.stderr)
         return restored["params"], restored.get("state", state)
     from rmcl_tpu.compat import load_torch_checkpoint
     pre = None
@@ -255,7 +258,8 @@ def load_initial_params(cfg, params, state):
 
     print(f"[rmcl] loaded torch checkpoint {cfg.load_path} "
           f"({len(loaded_p)} top-level modules"
-          f"{', heads grafted from ' + pre if pre else ''})")
+          f"{', heads grafted from ' + pre if pre else ''})",
+          file=sys.stderr)
     return merge(params, loaded_p), merge(state, loaded_s)
 
 

@@ -211,6 +211,31 @@ def test_artifact_session_hwc_layout_matches_patch(tmp_path):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_artifact_session_truncates_overlong_text(tmp_path):
+    """Over-long request text must be truncated to the artifact's fixed
+    (B, T) signature — HF tokenizers do NOT truncate by default, so the
+    session passes truncation=True exactly like training
+    (data/arrow_dataset.py:139)."""
+    import json
+
+    transformers = pytest.importorskip("transformers")
+    from rmcl_tpu.serve import ArtifactSession
+
+    vocab, _ = _vocab(tmp_path)
+    hf_tok = transformers.BertTokenizer(vocab_file=vocab,
+                                        do_lower_case=True)
+    cfg = _cfg("embed", image_dtype="float32")
+    params = _params(cfg)
+    path = str(tmp_path / "embed.stablehlo")
+    export_inference(cfg, params, "embed", 2, out_path=path)
+    with open(path + ".json") as fh:
+        meta = json.load(fh)
+    sess = ArtifactSession(path, params, hf_tok, meta)
+    out = sess.predict(_pil_images(2), ["the dog " * 40, "cat"])
+    assert out.shape == (2, 128) and np.isfinite(
+        np.asarray(out, np.float32)).all()
+
+
 def test_postprocess_records(tmp_path):
     from rmcl_tpu.serve import postprocess
 
