@@ -282,14 +282,39 @@ class GreedyAttack:
             batch = normalize_image_inputs(batch, grid_hw=self.cfg.grid_hw,
                                            patch_size=self.cfg.patch_size)
             B, nc, T = cand_ids.shape
-            flat = dict(batch)
-            flat["text_ids"] = cand_ids.reshape(B * nc, T)
-            flat["text_masks"] = cand_masks.reshape(B * nc, T)
-            for key in ("text_labels", "image", "image_0", "image_1",
-                        "vqa_targets", "answers"):
-                if key in batch:
-                    flat[key] = jnp.repeat(batch[key], nc, axis=0)
-            return self.score_candidates(params, flat, B, nc, extras, aux)
+
+            def score(ids3, masks3, ncg):
+                flat = dict(batch)
+                flat["text_ids"] = ids3.reshape(B * ncg, T)
+                flat["text_masks"] = masks3.reshape(B * ncg, T)
+                for key in ("text_labels", "image", "image_0", "image_1",
+                            "vqa_targets", "answers"):
+                    if key in batch:
+                        flat[key] = jnp.repeat(batch[key], ncg, axis=0)
+                return self.score_candidates(params, flat, B, ncg,
+                                             extras, aux)
+
+            # chunk the candidate axis when B*nc exceeds
+            # cfg.greedy_score_max_rows (same large-batch OOM guard as
+            # the fused path, attacks/greedy_fused.py)
+            cap = int(getattr(self.cfg, "greedy_score_max_rows", 0) or 0)
+            ncg = max(1, cap // B) if cap and B * nc > cap else nc
+            G = -(-nc // ncg)
+            if G == 1:
+                return score(cand_ids, cand_masks, nc)
+            ncp = G * ncg
+            if ncp > nc:
+                cand_ids = jnp.concatenate(
+                    [cand_ids, jnp.repeat(cand_ids[:, -1:], ncp - nc, 1)],
+                    1)
+                cand_masks = jnp.concatenate(
+                    [cand_masks,
+                     jnp.repeat(cand_masks[:, -1:], ncp - nc, 1)], 1)
+            ci = cand_ids.reshape(B, G, ncg, T).transpose(1, 0, 2, 3)
+            cm = cand_masks.reshape(B, G, ncg, T).transpose(1, 0, 2, 3)
+            scores = jax.lax.map(
+                lambda chunk: score(chunk[0], chunk[1], ncg), (ci, cm))
+            return scores.transpose(1, 0, 2).reshape(B, ncp)[:, :nc]
 
         self._grad_jit = jax.jit(grad_pass)
         self._score_jit = jax.jit(score_pass)

@@ -208,8 +208,8 @@ class FusedGreedyAttack:
             B, W = word_len.shape
             M = word_tok.shape[-1]
 
-            def make_rep_keys(db):
-                return {key: jnp.repeat(db[key], NC, axis=0)
+            def make_rep_keys(db, rep=NC):
+                return {key: jnp.repeat(db[key], rep, axis=0)
                         for key in ("text_labels", "image", "image_0",
                                     "image_1", "vqa_targets", "answers")
                         if key in db}
@@ -279,11 +279,48 @@ class FusedGreedyAttack:
                     wt2.reshape(B * NC, W, M), wl2.reshape(B * NC, W),
                     T, cls_id, sep_id, pad_id)
 
-                flat = dict(batch, **rep_keys)
-                flat["text_ids"] = cids
-                flat["text_masks"] = cmasks
-                scores = base.score_candidates(params, flat, B, NC,
-                                               extras, aux)
+                # candidate-scoring forward, chunked along the candidate
+                # axis when B*NC exceeds cfg.greedy_score_max_rows (the
+                # unchunked b256 program OOM-crashed the TPU worker —
+                # ROADMAP round 3).  Per-row math is unchanged: each
+                # chunk is an independent (B*ncg)-row forward and
+                # score_candidates is generic over its nc argument.
+                cap = int(getattr(base.cfg, "greedy_score_max_rows", 0)
+                          or 0)
+                ncg = (max(1, cap // B)
+                       if cap and B * NC > cap else NC)
+                G = -(-NC // ncg)
+                if G == 1:
+                    flat = dict(batch, **rep_keys)
+                    flat["text_ids"] = cids
+                    flat["text_masks"] = cmasks
+                    scores = base.score_candidates(params, flat, B, NC,
+                                                   extras, aux)
+                else:
+                    NCP = G * ncg
+                    ci = cids.reshape(B, NC, T)
+                    cm = cmasks.reshape(B, NC, T)
+                    if NCP > NC:
+                        # pad slots repeat the last candidate; their
+                        # duplicate scores are sliced off below
+                        ci = jnp.concatenate(
+                            [ci, jnp.repeat(ci[:, -1:], NCP - NC, 1)], 1)
+                        cm = jnp.concatenate(
+                            [cm, jnp.repeat(cm[:, -1:], NCP - NC, 1)], 1)
+                    ci = ci.reshape(B, G, ncg, T).transpose(1, 0, 2, 3)
+                    cm = cm.reshape(B, G, ncg, T).transpose(1, 0, 2, 3)
+
+                    def score_chunk(chunk):
+                        c_ids, c_masks = chunk
+                        fl = dict(batch, **make_rep_keys(dev_batch, ncg))
+                        fl["text_ids"] = c_ids.reshape(B * ncg, T)
+                        fl["text_masks"] = c_masks.reshape(B * ncg, T)
+                        return base.score_candidates(params, fl, B, ncg,
+                                                     extras, aux)
+
+                    scores = jax.lax.map(score_chunk, (ci, cm))
+                    scores = scores.transpose(1, 0, 2).reshape(
+                        B, NCP)[:, :NC]
                 valid = cand_valid[b_idx, pick] & has_pick[:, None]
                 scores = jnp.where(valid, scores, _NEG)
                 best = jnp.argmax(scores, axis=1)                 # (B,)

@@ -210,6 +210,28 @@ class RMCLConfig:
     # whose loss is batch-coupled); token-id parity with the host
     # orchestrator is asserted in tests/test_attacks.py.  0 disables.
     greedy_compact_frac: float = 0.25
+    # cap on the candidate-scoring forward's row count (B*n_candidates).
+    # When a batch exceeds it, the candidate axis is scored in
+    # ceil(n_candidates/ncg) sequential lax.map chunks of ncg =
+    # max(1, cap // B) candidates each — same per-row math, ncg x
+    # smaller live activation set.  Guards large-batch attack programs
+    # against HBM OOM (b256's unchunked scoring batch crashed the TPU
+    # worker, ROADMAP round 3).  Default = 640 rows, the largest
+    # scoring forward verified on hardware (b128 x 5 candidates): the
+    # proven operating points compile the identical unchunked program
+    # and anything larger is capped at proven size.  0 disables.
+    greedy_score_max_rows: int = 640
+    # graceful preemption (SURVEY §5.3; the reference has none): while
+    # fit() runs, SIGTERM sets a flag instead of killing the process;
+    # at the next step boundary (agreed across hosts every
+    # preempt_sync_every micro-batches when process_count > 1) the loop
+    # commits a mid-epoch 'last' checkpoint and returns cleanly.
+    # resume_from restores it and fast-forwards the interrupted epoch's
+    # loader to the exact next batch (data order is a pure function of
+    # seed+epoch), so preempted+resumed training replays nothing and
+    # loses nothing.
+    graceful_preemption: bool = True
+    preempt_sync_every: int = 16
     # dropout mask bit source: "fp32" (threefry bernoulli) | "pack8"
     # (byte lanes from 8x fewer threefry words) | "rbg" (hardware RNG).
     # Measured on v5e b16: threefry dropout costs 54 ms of the 260 ms

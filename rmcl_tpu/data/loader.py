@@ -61,9 +61,16 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.epoch = 0
+        self.skip_batches = 0
 
-    def set_epoch(self, epoch: int):
+    def set_epoch(self, epoch: int, skip_batches: int = 0):
+        """`skip_batches` fast-forwards iteration past the first N
+        batches of this epoch WITHOUT decoding them (mid-epoch
+        preemption resume: the epoch permutation is a pure function of
+        seed+epoch, so skipping reproduces the interrupted epoch's
+        exact continuation).  `len()` still reports the full epoch."""
         self.epoch = epoch
+        self.skip_batches = skip_batches
 
     def _indices(self):
         n = len(self.dataset)
@@ -88,7 +95,8 @@ class DataLoader:
     def _batches(self) -> Iterator[np.ndarray]:
         idx, n_real = self._indices()
         end = len(idx) // self.batch_size * self.batch_size
-        for s in range(0, end, self.batch_size):
+        start = min(self.skip_batches * self.batch_size, end)
+        for s in range(start, end, self.batch_size):
             # validity mask so wrap-around rows are evaluated but never
             # counted (the reference's DistributedSampler evaluates each
             # sample exactly once per process)

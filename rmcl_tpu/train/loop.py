@@ -276,6 +276,7 @@ class Trainer:
             process_count=jax.process_count())
         self.mesh = make_mesh() if use_mesh else None
         self.steps_done = 0
+        self._preempt_requested = False
 
     # ----------------------------------------------------------- assembly
     def _load_initial(self, params, state):
@@ -435,6 +436,61 @@ class Trainer:
             out["change_rate"])
         return batch
 
+    # ------------------------------------------------------- preemption
+    def request_preemption(self):
+        """Ask fit() to stop at the next step boundary and commit a
+        mid-epoch 'last' checkpoint (SURVEY §5.3 — the reference has no
+        preemption handling).  Installed as the SIGTERM action while
+        fit() runs; schedulers/tests may also call it directly."""
+        self._preempt_requested = True
+
+    def _sigterm_guard(self):
+        """Context manager installing the graceful-SIGTERM handler for
+        the duration of fit() (main thread only — signal.signal is
+        unavailable elsewhere; callers off the main thread keep the
+        direct request_preemption() hook)."""
+        import contextlib
+        import signal
+        import threading
+
+        @contextlib.contextmanager
+        def guard():
+            if (not self.cfg.graceful_preemption
+                    or threading.current_thread()
+                    is not threading.main_thread()):
+                yield
+                return
+            prev = signal.getsignal(signal.SIGTERM)
+
+            def handler(signum, frame):
+                print("[train] SIGTERM: checkpointing and exiting at "
+                      "the next step boundary", flush=True)
+                self.request_preemption()
+
+            signal.signal(signal.SIGTERM, handler)
+            try:
+                yield
+            finally:
+                signal.signal(signal.SIGTERM, prev)
+
+        return guard()
+
+    def _preempt_now(self) -> bool:
+        """Step-boundary preemption consensus.  Single process: the
+        local flag.  Multi-host: the flag is any-reduced across hosts
+        every `preempt_sync_every` micro-batches, so every host leaves
+        the step loop — and enters the collective checkpoint save — at
+        the SAME step (a host acting on its local flag alone would
+        deadlock the others' collectives)."""
+        if not self.cfg.graceful_preemption:
+            return False
+        if jax.process_count() == 1:
+            return self._preempt_requested
+        if self.steps_done % max(self.cfg.preempt_sync_every, 1):
+            return False
+        from rmcl_tpu.parallel import comm
+        return any(comm.all_gather(bool(self._preempt_requested)))
+
     # --------------------------------------------------------------- run
     def fit(self, max_steps_override: Optional[int] = None,
             log_every: Optional[int] = None):
@@ -444,11 +500,22 @@ class Trainer:
         # raw micro-batch count (tests / fast_dev_run convenience).
         limit = max_steps_override or self.max_steps * self.accum_steps
         log_every = log_every or cfg.log_every_n_steps
+        # per-step keys are folded in by micro-step index (not chained
+        # splits), so a preempted+resumed run consumes the identical
+        # stream — training is restart-invariant (RNG streams are not
+        # bit-contractual vs the reference anyway, PARITY #15)
         rng = jax.random.PRNGKey(cfg.seed + 1)
         # on resume_from, restart at the epoch the restored step sits in
         # so the shuffle order / augmentation epoch state don't replay
-        # epoch 0 and the epoch budget isn't extended
+        # epoch 0 and the epoch budget isn't extended; a MID-epoch
+        # restore (preemption checkpoint) additionally fast-forwards the
+        # first loader past the batches already trained — the epoch
+        # permutation is a pure function of seed+epoch, so the resumed
+        # run continues on the exact next batch
         epoch = self.steps_done // max(self.steps_per_epoch, 1)
+        resume_skip = self.steps_done - epoch * self.steps_per_epoch
+        preempted = False
+        self._preempt_requested = False  # stale flag from a prior fit()
         t0 = time.time()
 
         # Host/device pipeline: the greedy text attack and augmentation
@@ -468,11 +535,14 @@ class Trainer:
             from concurrent.futures import ThreadPoolExecutor
             pool = ThreadPoolExecutor(max_workers=1)
 
+        guard = self._sigterm_guard()
+        guard.__enter__()
         try:
             while self.steps_done < limit and epoch < cfg.max_epoch:
                 self.epoch = epoch
                 loader = self.dm.train_loader(self.per_host_batch)
-                loader.set_epoch(epoch)
+                loader.set_epoch(epoch, skip_batches=resume_skip)
+                resume_skip = 0
                 it = iter(loader)
                 raw = next(it, None)
                 fut = (pool.submit(self._prefetch_attack, raw)
@@ -487,7 +557,7 @@ class Trainer:
                         batch = self._attach_text_attack(raw)
                     fut = None
                     db = _device_batch(batch, self.mesh)
-                    rng, sub = jax.random.split(rng)
+                    sub = jax.random.fold_in(rng, self.steps_done)
                     self.ts, metrics = self.step_fn(self.ts, db, sub)
                     self.steps_done += 1
                     # submit the NEXT batch's host attack now — after
@@ -511,12 +581,16 @@ class Trainer:
                               f"loss={float(metrics['total_loss']):.4f} "
                               f"lr={float(metrics['lr']):.2e} "
                               f"{dt*1e3:.0f} ms/step", flush=True)
+                    if self._preempt_now():
+                        preempted = True
+                        break
                     if cfg.fast_dev_run:
                         break
                 # drain a prefetch submitted for a batch we won't run
-                # (step-limit break) BEFORE epoch_wrapup; its telemetry
-                # lives in a private scratch bag and is DISCARDED — an
-                # untrained batch must not count in epoch stats
+                # (step-limit/preemption break) BEFORE epoch_wrapup; its
+                # telemetry lives in a private scratch bag and is
+                # DISCARDED — an untrained batch must not count in
+                # epoch stats
                 if fut is not None:
                     try:
                         fut.result()
@@ -524,6 +598,16 @@ class Trainer:
                         print(f"[train] discarded prefetch failed: {e}",
                               flush=True)
                     fut = None
+                if preempted:
+                    # commit a mid-epoch 'last' NOW and exit cleanly —
+                    # no validation (the preemption grace window is
+                    # short); the finally block's wait() confirms the
+                    # orbax commit + pointer swing before we return
+                    self.ckpt.save_last(self.ts)
+                    print(f"[train] preempted: 'last' checkpoint at "
+                          f"micro-step {self.steps_done} scheduled; "
+                          f"exiting fit()", flush=True)
+                    break
                 tm = self.train_metrics.epoch_wrapup("train")
                 vm = self.validate()
                 self.logger.log(self.steps_done, tm, prefix="train_epoch/")
@@ -545,6 +629,7 @@ class Trainer:
             if pool is not None:
                 pool.shutdown(wait=True)
             self.ckpt.wait()
+            guard.__exit__(None, None, None)
         return self.ts
 
     # ---------------------------------------------------------------- val

@@ -310,6 +310,55 @@ def test_fused_greedy_compaction_exact(moco_setup, tiny_tok,
     assert outs[0.25]["num_changes"] > 0
 
 
+def test_fused_greedy_chunked_scoring_exact(moco_setup, tiny_tok,
+                                            tiny_synonyms):
+    """greedy_score_max_rows must be a pure memory transform: scoring
+    the candidate axis in lax.map chunks (here ncg=2 over NC=5, with a
+    padded 6th slot) produces identical final token ids and change
+    counts vs the single (B*NC)-row forward — on both the fused and the
+    host schedulers."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+
+    cfg, model, params, state = _moco_model_and_batch(
+        moco_setup, tiny_tok.vocab_size)
+    sentences = ["dog runs in park", "cat sits in street",
+                 "big red car on road", "the a on in"]
+    ids, masks = tiny_tok.batch_encode(sentences, cfg.max_text_len)
+    fb = make_fake_batch(cfg, batch=len(sentences))
+    batch = {
+        "image": fb["image"],
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+    }
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    infer_k = model.infer_k(params, dev, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+    extras = (k, state["proj_queue"], cfg.temperature)
+
+    B = len(sentences)
+    outs = {}
+    for cap in (0, 2 * B):   # 0 = unchunked; 2*B -> ncg=2, G=3, 1 pad
+        c = cfg.replace(greedy_score_max_rows=cap)
+        att = FusedGreedyAttack(
+            GreedyAttackMoco(c, model, tiny_tok, tiny_synonyms))
+        outs[cap] = att.adv_attack_samples(params, batch, extras)
+    np.testing.assert_array_equal(outs[2 * B]["txt_input_ids"],
+                                  outs[0]["txt_input_ids"])
+    np.testing.assert_array_equal(outs[2 * B]["text_masks"],
+                                  outs[0]["text_masks"])
+    assert (outs[2 * B]["changes_verification"]
+            == outs[0]["changes_verification"])
+    assert outs[0]["num_changes"] > 0
+
+    # host scheduler rides the same knob through score_pass
+    host = GreedyAttackMoco(cfg.replace(greedy_score_max_rows=2 * B),
+                            model, tiny_tok, tiny_synonyms)
+    out_h = host.adv_attack_samples(params, batch, extras)
+    np.testing.assert_array_equal(out_h["txt_input_ids"],
+                                  outs[0]["txt_input_ids"])
+
+
 def test_fused_greedy_matches_host_nlvr2_and_bt(moco_setup, tiny_tok,
                                                 tiny_synonyms):
     """Fused-vs-host parity for the two structurally different

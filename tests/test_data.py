@@ -202,6 +202,31 @@ def test_loader_sharding_and_determinism(arrow_dir, tok):
     assert sorted(seen0) != seen0c or seen0 != seen0c
 
 
+def test_loader_skip_batches(arrow_dir, tok):
+    """set_epoch(e, skip_batches=k) fast-forwards the epoch's batch
+    index stream past exactly k batches (mid-epoch preemption resume)
+    without changing len() or the epoch permutation."""
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok)
+    coll = MLMCollator(tok, seed=0)
+
+    def cfn(samples):
+        return collate(samples, coll, bucket_hw=(64, 64))
+
+    l = DataLoader(ds, 2, cfn, shuffle=True, seed=1, num_workers=2)
+    full = [(tuple(b), tuple(v)) for b, v in l._batches()]
+    n = len(l)
+    l.set_epoch(0, skip_batches=1)
+    assert [(tuple(b), tuple(v)) for b, v in l._batches()] == full[1:]
+    assert len(l) == n
+    l.set_epoch(0)  # plain set_epoch resets the skip
+    assert [(tuple(b), tuple(v)) for b, v in l._batches()] == full
+    l.set_epoch(0, skip_batches=10 ** 6)  # over-skip is empty, not error
+    assert list(l._batches()) == []
+
+
 def test_multitask_datamodule_vqa(arrow_dir, tok, tmp_path):
     from rmcl_tpu.core.config import build_config, loss_names
 

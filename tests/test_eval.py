@@ -756,6 +756,127 @@ def test_trainer_nlvr2_attacked_greedy_e2e(tmp_path):
     assert "num_changes" in metrics
 
 
+def _write_nlvr2_raw(tmp_path, n=8):
+    """Synthetic NLVR2 raw tree (train+dev) -> arrow dir (deterministic
+    pipeline: no false draws, no masking, pixelbert transform)."""
+    import json
+
+    from rmcl_tpu.data.writers import make_arrow_nlvr2
+
+    raw = tmp_path / "raw"
+    (raw / "nlvr2" / "data").mkdir(parents=True)
+    for split, sub, rows_n in (("train", "images/train/0", n),
+                               ("dev", "dev", 2)):
+        (raw / sub).mkdir(parents=True)
+        rows = []
+        for i in range(rows_n):
+            iden = f"{split}-{i}-0"
+            rows.append({"identifier": f"{iden}-0", "directory": "0",
+                         "sentence": f"the dog runs in the park {i}",
+                         "label": "True" if i % 2 == 0 else "False"})
+            img = Image.fromarray(np.random.RandomState(i).randint(
+                0, 255, (40, 40, 3), np.uint8))
+            img.save(raw / sub / f"{iden}-img0.png")
+            img.save(raw / sub / f"{iden}-img1.png")
+        with open(raw / "nlvr2" / "data" / f"{split}.json", "w") as f:
+            f.write("\n".join(json.dumps(r) for r in rows))
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    make_arrow_nlvr2(str(raw), str(arrow))
+    return arrow
+
+
+def _nlvr2_trainer(tmp_path, arrow, vocab, max_steps, resume=None,
+                   workdir="out"):
+    from rmcl_tpu.train.loop import Trainer
+
+    cfg = build_config(
+        "task_finetune_nlvr2",
+        datasets=("nlvr2",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=12,
+        vocab_size=64, use_pallas_attention=False,
+        compute_dtype="float32", drop_rate=0.0, max_steps=max_steps,
+        warmup_steps=0, batch_size=2, num_workers=2, max_image_len=-1,
+        resume_from=resume, log_dir=str(tmp_path / workdir))
+    tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab,
+                 use_mesh=False)
+    tr.setup()
+    return tr
+
+
+def test_preemption_checkpoint_and_exact_resume(tmp_path):
+    """Graceful preemption (SURVEY §5.3 — the reference has none):
+    request_preemption() mid-epoch commits a 'last' checkpoint at the
+    next step boundary and fit() exits without validating; a fresh
+    Trainer with resume_from restores it, fast-forwards the interrupted
+    epoch's loader past the already-trained batches, and — because
+    per-step RNG keys fold in the micro-step index — the
+    preempted+resumed run reproduces the uninterrupted run's final
+    params EXACTLY (NLVR2 pipeline is host-deterministic: no false
+    draws, no masking, pixelbert transform)."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+
+    arrow = _write_nlvr2_raw(tmp_path)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "runs", "park", "the", "in"])
+
+    # uninterrupted reference run: 4 steps (one 4-batch epoch)
+    tr_a = _nlvr2_trainer(tmp_path, arrow, vocab, 4, workdir="a")
+    ts_a = tr_a.fit()
+    assert int(ts_a.step) == 4
+
+    # preempted run: stop after micro-step 1 (mid-epoch)
+    tr_b = _nlvr2_trainer(tmp_path, arrow, vocab, 4, workdir="b")
+    orig_step = tr_b.step_fn
+
+    def step_and_preempt(ts, db, rng):
+        out = orig_step(ts, db, rng)
+        tr_b.request_preemption()
+        return out
+
+    tr_b.step_fn = step_and_preempt
+    ts_b = tr_b.fit()
+    assert int(ts_b.step) == 1
+    assert tr_b.ckpt.has("last")
+    assert int(tr_b.ckpt.restore(tr_b.ts, "last").step) == 1
+
+    # resumed run: restores step 1, trains exactly batches 2..4
+    tr_c = _nlvr2_trainer(tmp_path, arrow, vocab, 4, resume="last",
+                          workdir="b")
+    assert tr_c.steps_done == 1
+    ts_c = tr_c.fit()
+    assert int(ts_c.step) == 4
+
+    import jax
+
+    flat_a = jax.tree_util.tree_leaves(ts_a.params)
+    flat_c = jax.tree_util.tree_leaves(ts_c.params)
+    for a, c in zip(flat_a, flat_c):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_sigterm_sets_preemption_flag(tmp_path):
+    """The guard installed around fit() turns SIGTERM into a graceful
+    stop request instead of killing the process, and restores the
+    previous handler on exit."""
+    import os
+    import signal
+
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+
+    arrow = _write_nlvr2_raw(tmp_path, n=2)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "runs", "park", "the", "in"])
+    tr = _nlvr2_trainer(tmp_path, arrow, vocab, 1)
+
+    before = signal.getsignal(signal.SIGTERM)
+    with tr._sigterm_guard():
+        os.kill(os.getpid(), signal.SIGTERM)
+        assert tr._preempt_requested          # alive and flagged
+    assert signal.getsignal(signal.SIGTERM) is before
+
+
 def test_trainer_grad_accumulation_wiring(tmp_path):
     """Trainer derives accumulate_grad_batches = batch_size //
     (per_device_batchsize * devices * hosts) like reference

@@ -171,3 +171,58 @@ def test_two_process_eval_vqa_submission_and_recall(tmp_path):
     for r in results.values():
         assert r["recall_sharded"] == r["recall_local"]
     assert results[0]["recall_sharded"] == results[1]["recall_sharded"]
+
+
+def test_two_process_preemption_consensus(tmp_path):
+    """Multi-host preemption consensus (PARITY #29): rank 1 alone flags
+    preemption after its first micro-step; the flag is any-reduced every
+    preempt_sync_every=2 micro-batches, so BOTH hosts must exit fit()
+    at the same step boundary (micro-step 2) and commit the collective
+    mid-epoch 'last' checkpoint together — a host acting on its local
+    flag alone would deadlock the other's collectives."""
+    import json
+
+    datadir = str(tmp_path / "data")
+    os.makedirs(datadir)
+    _make_eval_data(datadir)
+
+    port = _free_port()
+    coordinator = f"127.0.0.1:{port}"
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    worker = os.path.join(root, "tests", "_mp_preempt_worker.py")
+
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = root + os.pathsep + env.get("PYTHONPATH", "")
+
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, coordinator, "2", str(i), datadir],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True, env=env, cwd=root)
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=570)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, f"preempt worker failed:\n{out[-6000:]}"
+
+    results = {}
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith("MP_PREEMPT_RESULT")]
+        assert lines, f"no MP_PREEMPT_RESULT in worker output:\n{out[-6000:]}"
+        _, pid, payload = lines[0].split(" ", 2)
+        results[int(pid)] = json.loads(payload)
+
+    assert set(results) == {0, 1}
+    for r in results.values():
+        # both hosts stopped at the SAME consensus boundary: micro-step
+        # 2 (rank 1 flags at step 1; 1 % 2 != 0 defers the any-reduce),
+        # mid-epoch (4 micro-steps/epoch), well short of max_steps=6
+        assert r["steps_done"] == 2
+        assert r["has_last"]
+        assert r["restored_step"] == 2
