@@ -19,12 +19,21 @@ from typing import Any, Dict, List, Tuple
 from rmcl_tpu.core.config import build_config, named_configs
 
 
+# reference key spellings accepted verbatim (MIGRATION.md): the GPU
+# wording maps onto the device-count/per-device fields 1:1
+_KEY_ALIASES = {
+    "per_gpu_batchsize": "per_device_batchsize",
+    "num_gpus": "num_devices",
+}
+
+
 def parse_with(argv: List[str]) -> Tuple[List[str], Dict[str, Any]]:
     names: List[str] = []
     overrides: Dict[str, Any] = {}
     for tok in argv:
         if "=" in tok:
             k, v = tok.split("=", 1)
+            k = _KEY_ALIASES.get(k, k)
             try:
                 overrides[k] = ast.literal_eval(v)
             except (ValueError, SyntaxError):

@@ -30,6 +30,17 @@ def test_parse_with_literals_and_strings():
     assert ov["datasets"] == ("coco",)
 
 
+def test_parse_with_reference_key_aliases():
+    """A reference TRAIN.md command line works verbatim (MIGRATION.md):
+    num_gpus/per_gpu_batchsize map onto the device-count fields."""
+    from rmcl_tpu.core.config import build_config
+    names, ov = parse_with(
+        ["task_moco", "num_gpus=8", "per_gpu_batchsize=64"])
+    assert ov == {"num_devices": 8, "per_device_batchsize": 64}
+    cfg = build_config(*names, **ov)
+    assert cfg.num_devices == 8 and cfg.per_device_batchsize == 64
+
+
 def test_configs_listing(capsys):
     assert main(["configs"]) == 0
     out = capsys.readouterr().out
