@@ -296,8 +296,15 @@ class GreedyAttack:
 
             # chunk the candidate axis when B*nc exceeds
             # cfg.greedy_score_max_rows (same large-batch OOM guard as
-            # the fused path, attacks/greedy_fused.py)
-            cap = int(getattr(self.cfg, "greedy_score_max_rows", 0) or 0)
+            # the fused path, attacks/greedy_fused.py).  Only exact for
+            # per-sample-independent frameworks: barlowtwins'
+            # score_candidates runs the projector's BatchNorm in
+            # training mode, so its batch statistics depend on the full
+            # (B*nc)-row scoring batch — chunking would change q_cand
+            # and therefore the committed substitutions.  Gated exactly
+            # like live-set compaction.
+            cap = (int(getattr(self.cfg, "greedy_score_max_rows", 0) or 0)
+                   if self.per_sample_independent else 0)
             ncg = max(1, cap // B) if cap and B * nc > cap else nc
             G = -(-nc // ncg)
             if G == 1:

@@ -282,11 +282,18 @@ class FusedGreedyAttack:
                 # candidate-scoring forward, chunked along the candidate
                 # axis when B*NC exceeds cfg.greedy_score_max_rows (the
                 # unchunked b256 program OOM-crashed the TPU worker —
-                # ROADMAP round 3).  Per-row math is unchanged: each
-                # chunk is an independent (B*ncg)-row forward and
-                # score_candidates is generic over its nc argument.
-                cap = int(getattr(base.cfg, "greedy_score_max_rows", 0)
-                          or 0)
+                # ROADMAP round 3).  Per-row math is unchanged for
+                # per-sample-independent frameworks: each chunk is an
+                # independent (B*ncg)-row forward and score_candidates
+                # is generic over its nc argument.  Barlowtwins is NOT
+                # chunk-invariant (its scoring forward runs the
+                # projector BatchNorm in training mode, whose batch
+                # statistics span the whole scoring batch), so chunking
+                # is gated on per_sample_independent exactly like
+                # live-set compaction below.
+                cap = (int(getattr(base.cfg, "greedy_score_max_rows", 0)
+                           or 0)
+                       if base.per_sample_independent else 0)
                 ncg = (max(1, cap // B)
                        if cap and B * NC > cap else NC)
                 G = -(-NC // ncg)

@@ -80,12 +80,28 @@ class DataLoader:
             order = np.arange(n)
         idx = order[self.process_index::self.process_count]
         n_real = len(idx)
-        if not self.drop_last and len(idx) % self.batch_size:
-            # pad by wrap-around so every batch is full-size/static —
-            # the same repetition DistributedSampler applies to make the
-            # set divisible (reference multitask_datamodule.py:44-47)
-            pad = self.batch_size - len(idx) % self.batch_size
-            idx = np.concatenate([idx, idx[:pad]]) if len(idx) else idx
+        # Every host must iterate the SAME number of batches: hosts run
+        # collectives in lockstep, and the trainer's resume math
+        # (train/loop.py) assumes steps_per_epoch == len(loader) on
+        # every host.  order[pi::pc] shards differ by one element when
+        # pc does not divide n, so equalize:
+        if self.drop_last:
+            # truncate every shard to the common floor(n/pc) — batches
+            # per host == n // (pc*bs) exactly (at most pc-1 samples
+            # dropped per epoch, reshuffled back in the next epoch)
+            idx = idx[: n // self.process_count]
+        elif n_real:
+            # pad by wrap-around up to the common ceil(n/pc), then to a
+            # batch multiple, so every batch is full-size/static — the
+            # same repetition DistributedSampler applies to make the
+            # set divisible (reference multitask_datamodule.py:44-47);
+            # rows past n_real are masked invalid downstream so each
+            # sample is still counted exactly once globally
+            common = -(-n // self.process_count)
+            total = -(-common // self.batch_size) * self.batch_size
+            if total > n_real:
+                reps = -(-total // n_real)
+                idx = np.concatenate([idx] * reps)[:total]
         return idx, n_real
 
     def __len__(self) -> int:

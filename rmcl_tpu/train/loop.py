@@ -285,7 +285,6 @@ class Trainer:
     def setup(self, params=None, state=None):
         cfg = self.cfg
         self.dm.setup()
-        n_train = len(self.dm.datasets["train"]["concat"])
         ndev = max(jax.local_device_count(), 1) if self.mesh is not None else 1
         per_host = cfg.per_device_batchsize * ndev \
             if cfg.per_device_batchsize else \
@@ -293,8 +292,12 @@ class Trainer:
         # batch dim must divide evenly over the data mesh axis
         per_host = max((per_host // ndev) * ndev, ndev)
         self.per_host_batch = per_host
-        steps_per_epoch = max(
-            n_train // max(per_host * jax.process_count(), 1), 1)
+        # derive from the ACTUAL per-host loader length (not recomputed
+        # from dataset size) so mid-epoch resume's epoch/skip math can
+        # never drift from what the loader really yields; the loader
+        # equalizes shard sizes across hosts (data/loader.py:_indices),
+        # so this length is host-invariant
+        steps_per_epoch = max(len(self.dm.train_loader(per_host)), 1)
         # gradient accumulation: micro-batches per optimizer step, the
         # reference's `grad_steps = batch_size // (per_gpu_batchsize *
         # num_gpus * num_nodes)` fed to pl.Trainer(

@@ -415,6 +415,22 @@ def test_fused_greedy_matches_host_nlvr2_and_bt(moco_setup, tiny_tok,
     np.testing.assert_array_equal(of["txt_input_ids"], oh["txt_input_ids"])
     assert of["changes_verification"] == oh["changes_verification"]
 
+    # barlowtwins is NOT chunk-invariant (its scoring forward runs the
+    # projector BatchNorm in training mode over the whole scoring
+    # batch), so greedy_score_max_rows must be IGNORED for it — a tiny
+    # cap yields the identical program/token ids on both schedulers.
+    cap_cfg = cfg.replace(greedy_score_max_rows=2)
+    host_cap = GreedyAttackBarlowTwins(cap_cfg, model, tiny_tok,
+                                       tiny_synonyms)
+    fused_cap = FusedGreedyAttack(
+        GreedyAttackBarlowTwins(cap_cfg, model, tiny_tok, tiny_synonyms))
+    np.testing.assert_array_equal(
+        host_cap.adv_attack_samples(params, batch, extras)
+        ["txt_input_ids"], oh["txt_input_ids"])
+    np.testing.assert_array_equal(
+        fused_cap.adv_attack_samples(params, batch, extras)
+        ["txt_input_ids"], of["txt_input_ids"])
+
 def test_attacked_train_step_one_program_parity(moco_setup, tiny_tok,
                                                 tiny_synonyms):
     """make_attacked_train_step (extras + fused attack + train step in
