@@ -240,7 +240,13 @@ def main():
 
     result = {
         "metric": "rmcl_moco_step_pairs_per_sec_per_chip",
+        # `value` is the CLEAN train step (attack-free), the comparable
+        # number across rounds; the attack-inclusive production recipe
+        # is reported co-equally below as attacked_pairs_per_sec
+        # (realistic caption mix) / attacked_worst_pairs_per_sec
         "value": round(pairs_per_sec, 2),
+        "value_kind": "clean_step",
+        "clean_pairs_per_sec": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         # denominator is an ESTIMATE (the reference publishes no
         # throughput; no GPU in this environment) — see module docstring
@@ -294,10 +300,25 @@ def main():
     if on_tpu and os.environ.get("BENCH_INCLUDE_GREEDY", "1") == "1":
         try:
             g = measure_fused_greedy(cfg, model, rng)
+            # co-equal production-recipe numbers (task_moco text_view,
+            # one-program greedy attack + step): realistic = caption
+            # stopword mix, worst = every word attackable.  The
+            # *_num_changes fields are the attack-strength evidence
+            # behind measure_fused_greedy's guards.
+            result["attacked_pairs_per_sec"] = round(g["realistic"], 2)
+            result["attacked_worst_pairs_per_sec"] = round(g["worst"], 2)
+            result["attacked_num_changes"] = round(
+                g["realistic_num_changes"], 3)
+            result["attacked_worst_num_changes"] = round(
+                g["worst_num_changes"], 3)
+            result["attack_strength_ok"] = True
+            # legacy field names (rounds <= 3)
             result["greedy_pairs_per_sec"] = round(g["worst"], 2)
             result["greedy_mix"] = "worst"
             result["greedy_realistic_pairs_per_sec"] = round(
                 g["realistic"], 2)
+        except AssertionError:
+            raise  # attack-strength collapse must sink the bench
         except Exception as e:  # never sink the headline number
             log(f"greedy bench failed: {e}")
 
@@ -471,10 +492,23 @@ def measure_fused_greedy(cfg, model, rng) -> dict:
             ts, metrics = step2(ts, make_batch(), rng)
         _ = float(metrics["moco_loss"])
         dt = (time.perf_counter() - t0) / ITERS
+        nch = float(metrics["num_changes"])
         log(f"fused-1prog step+attack [{mix:9s}] {dt*1e3:7.1f} ms -> "
-            f"{BATCH/dt:6.1f} pairs/s  "
-            f"num_changes={float(metrics['num_changes']):.2f}")
+            f"{BATCH/dt:6.1f} pairs/s  num_changes={nch:.2f}")
         out[mix] = BATCH / dt
+        out[mix + "_num_changes"] = nch
+
+    # attack-strength guards: perf work must not silently weaken the
+    # attack.  At these mixes (10-word sentences, 20% budget = 2
+    # substitutions max) the worst-case mix commits ~2 changes/sentence
+    # and the caption-like mix ~1; a collapse below these generous
+    # floors means the attack stopped finding/committing substitutions.
+    assert out["worst_num_changes"] >= 1.0, (
+        f"attack strength collapsed: worst-mix num_changes "
+        f"{out['worst_num_changes']:.2f} < 1.0")
+    assert out["realistic_num_changes"] >= 0.3, (
+        f"attack strength collapsed: realistic-mix num_changes "
+        f"{out['realistic_num_changes']:.2f} < 0.3")
     return out
 
 
