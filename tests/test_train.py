@@ -585,3 +585,106 @@ def test_zero1_optimizer_sharding_matches_replicated():
             assert leaf.sharding.spec == P("data"), (leaf.shape, leaf.sharding)
             n_sharded += 1
     assert n_sharded > 10  # m, v and every param-shaped buffer
+
+
+def test_production_multichip_zero1_shardmap_attack_parity(
+        tmp_path, monkeypatch):
+    """The COMBINED production multi-chip configuration — ZeRO-1
+    optimizer sharding + shard_map'd fused Pallas kernels + the
+    ONE-program greedy-attack+train step — runs TOGETHER over an
+    8-device data mesh and matches the plain-DP one-program path.
+
+    Round-3 coverage validated each piece separately; composition bugs
+    (zero1's sharded optimizer update meeting shard_map's psum
+    transpose inside the attack while_loop) are exactly what piecewise
+    tests miss.  Parity: per-step losses, committed substitution
+    counts (token-id-sensitive), and final params/state."""
+    from rmcl_tpu.attacks.greedy import GreedyAttackMoco, SynonymTable
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+    from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
+    from rmcl_tpu.train.step import make_attacked_train_step
+    from jax.sharding import PartitionSpec as P
+
+    assert jax.device_count() >= 8
+    monkeypatch.setenv("RMCL_PALLAS_INTERPRET", "1")
+
+    words = ["dog", "puppy", "park", "garden", "runs", "sprints", "the"]
+    vocab = str(tmp_path / "v.txt")
+    make_tiny_vocab(vocab, words)
+    tok = WordPieceTokenizer(vocab)
+    rng_np = np.random.RandomState(0)
+    emb = str(tmp_path / "e.txt")
+    with open(emb, "w") as f:
+        for group in (["dog", "puppy"], ["park", "garden"],
+                      ["runs", "sprints"], ["the"]):
+            base = rng_np.randn(16)
+            for w in group:
+                v = base + 0.05 * rng_np.randn(16)
+                f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
+
+    cfg = _tiny({"moco": 1}, vocab_size=tok.vocab_size, num_negative=16,
+                momentum=0.99, text_view=True, image_view=True,
+                adv_steps_img=1, adv_lr_img=0.05, adv_max_norm_img=0.005,
+                warmup_steps=0, max_text_len=12, n_candidates=2,
+                max_loops=2)
+    mesh = make_mesh(jax.devices()[:8])
+    syn = SynonymTable(emb, cfg.n_candidates, cfg.sim_thred)
+
+    ids, masks = tok.batch_encode(
+        ["dog runs the park"] * 4 + ["puppy sprints the garden"] * 4, 12)
+    b = make_fake_batch(cfg, batch=8)
+    base_batch = {
+        "image": jnp.asarray(b["image"]),
+        "text_ids": jnp.asarray(ids, jnp.int32),
+        "text_masks": jnp.asarray(masks, jnp.int32),
+        "text_labels": jnp.full_like(jnp.asarray(ids), -100),
+    }
+
+    def run(production):
+        c = cfg.replace(zero1=production)
+        if production:
+            c = c.replace(attention_impl="fused", mlp_impl="fused")
+        model, ts, tx = create_train_state(
+            jax.random.PRNGKey(0), c, mesh=mesh if production else None)
+        if production:
+            assert model.spec.shard_mesh is not None, \
+                "production config must route kernels through shard_map"
+        fused = FusedGreedyAttack(GreedyAttackMoco(c, model, tok, syn))
+        step = make_attacked_train_step(c, model, tx, fused, mesh=mesh,
+                                        donate=False)
+        batch = dict(base_batch)
+        batch.update({k: jnp.asarray(v) for k, v in
+                      fused.prep_tables(np.asarray(ids)).items()})
+        batch = shard_batch(batch, mesh)
+        ms = []
+        for i in range(2):
+            ts, m = step(ts, batch, jax.random.PRNGKey(7 + i))
+            ms.append(m)
+        return ts, ms
+
+    base_ts, base_ms = run(False)
+    prod_ts, prod_ms = run(True)
+
+    for mb, mp in zip(base_ms, prod_ms):
+        # committed substitutions are token-id-sensitive: an argmax flip
+        # from kernel numerics would show up here first
+        assert float(mb["num_changes"]) == float(mp["num_changes"])
+        np.testing.assert_allclose(float(mp["moco_loss"]),
+                                   float(mb["moco_loss"]),
+                                   rtol=5e-4, atol=5e-5)
+        np.testing.assert_allclose(float(mp["attacked_txt_loss"]),
+                                   float(mb["attacked_txt_loss"]),
+                                   rtol=5e-4, atol=5e-5)
+    jax.tree.map(lambda a, b_: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b_), atol=5e-4),
+        base_ts.params, prod_ts.params)
+    jax.tree.map(lambda a, b_: np.testing.assert_allclose(
+        np.asarray(a), np.asarray(b_), atol=5e-4),
+        base_ts.state, prod_ts.state)
+
+    # zero1 actually sharded the optimizer state in the combined program
+    n_sharded = sum(
+        1 for leaf in jax.tree.leaves(prod_ts.opt_state)
+        if leaf.ndim >= 1 and leaf.shape and leaf.shape[0] % 8 == 0
+        and leaf.shape[0] >= 8 and leaf.sharding.spec == P("data"))
+    assert n_sharded > 10
