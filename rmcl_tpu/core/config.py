@@ -582,6 +582,49 @@ def named_configs() -> List[str]:
     return sorted(NAMED_CONFIGS.keys())
 
 
+# ------------------------------------------------------------- ViT presets
+def _vit_geometry(patch: int, dim: int, depth: int, heads: int, size: int,
+                  mlp: int = 4) -> Dict[str, Any]:
+    # static canvas from the MinMax /32 math: shorter side = size,
+    # longer = floor(1333/800 * size) floored to /32
+    # (data/transforms.py:min_max_size; reference utils.py:5-27)
+    longer = int((1333 / 800) * size) // 32 * 32
+    return dict(patch_size=patch, hidden_size=dim, num_layers=depth,
+                num_heads=heads, mlp_ratio=mlp, image_size=size,
+                image_bucket_hw=(size, longer))
+
+
+# Named ViT geometries — the reference registers ~25 timm factories
+# (reference vision_transformer.py:926-1383) though its named configs only
+# ever instantiate vit_base_patch32_384 (config.py:464-471).
+# `build_config(vit=<name>)` fills in any geometry key not explicitly set;
+# named configs and keyword overrides always win.  The in21k variants share
+# their base geometry (only the pretraining data differs); hybrid-resnet
+# backbones and the distillation-token variants are different architectures
+# and are not reproduced (dead code in the reference).
+VIT_PRESETS: Dict[str, Dict[str, Any]] = {
+    # reference vision_transformer.py:927 — "custom small": d8 h8 mlp3
+    "vit_small_patch16_224": _vit_geometry(16, 768, 8, 8, 224, mlp=3),
+    "vit_base_patch16_224": _vit_geometry(16, 768, 12, 12, 224),
+    "vit_base_patch32_224": _vit_geometry(32, 768, 12, 12, 224),
+    "vit_base_patch16_384": _vit_geometry(16, 768, 12, 12, 384),
+    "vit_base_patch32_384": _vit_geometry(32, 768, 12, 12, 384),
+    "vit_large_patch16_224": _vit_geometry(16, 1024, 24, 16, 224),
+    "vit_large_patch32_224": _vit_geometry(32, 1024, 24, 16, 224),
+    "vit_large_patch16_384": _vit_geometry(16, 1024, 24, 16, 384),
+    "vit_large_patch32_384": _vit_geometry(32, 1024, 24, 16, 384),
+    "vit_base_patch16_224_in21k": _vit_geometry(16, 768, 12, 12, 224),
+    "vit_base_patch32_224_in21k": _vit_geometry(32, 768, 12, 12, 224),
+    "vit_large_patch16_224_in21k": _vit_geometry(16, 1024, 24, 16, 224),
+    "vit_large_patch32_224_in21k": _vit_geometry(32, 1024, 24, 16, 224),
+    # DeiT geometries (reference vision_transformer.py:1278-1323)
+    "vit_deit_tiny_patch16_224": _vit_geometry(16, 192, 12, 3, 224),
+    "vit_deit_small_patch16_224": _vit_geometry(16, 384, 12, 6, 224),
+    "vit_deit_base_patch16_224": _vit_geometry(16, 768, 12, 12, 224),
+    "vit_deit_base_patch16_384": _vit_geometry(16, 768, 12, 12, 384),
+}
+
+
 def build_config(*names: str, **overrides: Any) -> RMCLConfig:
     """Compose named presets left-to-right, then apply keyword overrides.
 
@@ -596,6 +639,15 @@ def build_config(*names: str, **overrides: Any) -> RMCLConfig:
             )
         merged.update(NAMED_CONFIGS[name])
     merged.update(overrides)
+    # `vit` name fills in geometry keys not explicitly set anywhere
+    vit_name = merged.get("vit")
+    if vit_name is not None and vit_name != RMCLConfig.vit:
+        if vit_name not in VIT_PRESETS:
+            raise KeyError(
+                f"Unknown vit preset {vit_name!r}; available: "
+                f"{sorted(VIT_PRESETS)}")
+        for k, v in VIT_PRESETS[vit_name].items():
+            merged.setdefault(k, v)
     # normalize container types
     for k in ("datasets", "train_transform_keys", "val_transform_keys",
               "type_txt_augm", "attack_idx", "image_bucket_hw",

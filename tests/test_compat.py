@@ -526,3 +526,121 @@ def test_full_namespace_graft_byte_equality():
     # non-grafted modules keep the base checkpoint's values
     assert np.array_equal(np.asarray(pg["pooler"]["dense"]["kernel"]),
                           sd["pooler.dense.weight"].T)
+
+
+# ------------------------------------------------------- named ViT presets
+def _synthetic_timm_sd(cfg, grid: int, rng):
+    """Bare timm VisionTransformer state dict at cfg's geometry with a
+    `grid`x`grid` pos-embed (timm naming, reference
+    vision_transformer.py:926-1383 factories)."""
+    C, P, M = cfg.hidden_size, cfg.patch_size, cfg.mlp_ratio
+    sd = {
+        "patch_embed.proj.weight":
+            rng.randn(C, 3, P, P).astype(np.float32) * 0.05,
+        "patch_embed.proj.bias": np.zeros(C, np.float32),
+        "cls_token": rng.randn(1, 1, C).astype(np.float32) * 0.05,
+        "pos_embed":
+            rng.randn(1, grid * grid + 1, C).astype(np.float32) * 0.05,
+        "norm.weight": np.ones(C, np.float32),
+        "norm.bias": np.zeros(C, np.float32),
+    }
+    for i in range(cfg.num_layers):
+        b = f"blocks.{i}."
+        sd[b + "norm1.weight"] = np.ones(C, np.float32)
+        sd[b + "norm1.bias"] = np.zeros(C, np.float32)
+        sd[b + "attn.qkv.weight"] = (
+            rng.randn(3 * C, C).astype(np.float32) * 0.05)
+        sd[b + "attn.qkv.bias"] = np.zeros(3 * C, np.float32)
+        sd[b + "attn.proj.weight"] = (
+            rng.randn(C, C).astype(np.float32) * 0.05)
+        sd[b + "attn.proj.bias"] = np.zeros(C, np.float32)
+        sd[b + "norm2.weight"] = np.ones(C, np.float32)
+        sd[b + "norm2.bias"] = np.zeros(C, np.float32)
+        sd[b + "mlp.fc1.weight"] = (
+            rng.randn(M * C, C).astype(np.float32) * 0.05)
+        sd[b + "mlp.fc1.bias"] = np.zeros(M * C, np.float32)
+        sd[b + "mlp.fc2.weight"] = (
+            rng.randn(C, M * C).astype(np.float32) * 0.05)
+        sd[b + "mlp.fc2.bias"] = np.zeros(C, np.float32)
+    return sd
+
+
+def test_vit_preset_table_geometry():
+    """`build_config(vit=<name>)` fills in the registered timm geometry
+    (reference vision_transformer.py:926-1383); explicit keys win."""
+    from rmcl_tpu.core.config import VIT_PRESETS
+
+    c = build_config(vit="vit_small_patch16_224")
+    # reference :927-934 — the "custom small": depth 8, heads 8, mlp 3
+    assert (c.patch_size, c.hidden_size, c.num_layers, c.num_heads,
+            c.mlp_ratio) == (16, 768, 8, 8, 3)
+    assert c.image_size == 224 and c.image_bucket_hw == (224, 352)
+    assert c.image_bucket_hw[1] % c.patch_size == 0
+
+    c = build_config(vit="vit_large_patch16_384")
+    assert (c.hidden_size, c.num_layers, c.num_heads) == (1024, 24, 16)
+    assert c.image_bucket_hw == (384, 608)
+
+    # every preset's static canvas aligns with its patch grid
+    for name, g in VIT_PRESETS.items():
+        cc = build_config(vit=name)
+        assert cc.image_bucket_hw[0] % cc.patch_size == 0, name
+        assert cc.image_bucket_hw[1] % cc.patch_size == 0, name
+        assert cc.hidden_size % cc.num_heads == 0, name
+
+    # explicit geometry beats the preset (Sacred-style override order)
+    c = build_config(vit="vit_base_patch16_224", num_layers=2)
+    assert c.num_layers == 2 and c.patch_size == 16
+
+    with pytest.raises(KeyError):
+        build_config(vit="vit_enormous_patch7_999")
+
+
+def test_vit_preset_trains_and_converts_timm_dict():
+    """`vit="vit_small_patch16_224"` trains a step at the registered
+    geometry and loads a synthetic timm state dict through
+    load_timm_vit, including the pos-embed grid resize (reference
+    vision_transformer.py:854-922)."""
+    from rmcl_tpu.compat.torch_loader import load_timm_vit
+    from rmcl_tpu.train.step import create_train_state, make_train_step
+    from tests.conftest import make_fake_batch
+
+    cfg = build_config(
+        vit="vit_small_patch16_224", loss_names=loss_names({"mlm": 1}),
+        max_text_len=8, vocab_size=64, max_image_len=16,
+        use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=10, warmup_steps=0,
+        # shrink the canvas (NOT the model) to keep the CPU step cheap;
+        # the p16 patch grid and d8/h8/mlp3 geometry stay faithful
+        image_bucket_hw=(96, 112))
+    assert cfg.num_layers == 8 and cfg.mlp_ratio == 3
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    fc1 = ts.params["transformer"]["blocks"]["mlp"]["fc1"]["kernel"]
+    assert fc1.shape == (cfg.num_layers, 768, 3 * 768)
+
+    step = make_train_step(cfg, model, tx, donate=False)
+    b = make_fake_batch(cfg, batch=2)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    labels = np.full(b["text_ids"].shape, -100, np.int32)
+    labels[:, 2] = np.asarray(b["text_ids"])[:, 2]
+    batch["text_ids_mlm"] = batch["text_ids"]
+    batch["text_labels_mlm"] = jnp.asarray(labels)
+    _, m = step(ts, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(m["total_loss"]))
+
+    # timm dict at the preset's NATIVE 224/16 grid (14x14) -> model grid
+    rng = np.random.RandomState(0)
+    sd = _synthetic_timm_sd(cfg, grid=224 // 16, rng=rng)
+    conv = load_timm_vit(sd, cfg)
+    n_model = (cfg.image_size // cfg.patch_size) ** 2 + 1
+    assert conv["pos_embed"].shape == (1, n_model, 768)
+    assert conv["blocks"]["mlp"]["fc1"]["kernel"].shape == (8, 768, 3 * 768)
+    # non-resized leaves round-trip exactly (qkv is transposed to (C,3C))
+    np.testing.assert_allclose(
+        np.asarray(conv["blocks"]["attn"]["qkv"]["kernel"][3]),
+        sd["blocks.3.attn.qkv.weight"].T)
+
+    # grafting the converted trunk into live params still runs forward
+    params = dict(ts.params, transformer=conv)
+    out = model.infer(params, batch, deterministic=True)
+    assert np.all(np.isfinite(np.asarray(out["cls_feats"])))
