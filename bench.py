@@ -180,7 +180,7 @@ def main():
         "task_moco",
         num_negative=int(os.environ.get("BENCH_QUEUE", "65536")),
         image_bucket_hw=(384, 576),
-        max_image_len=200,
+        max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
         image_view=os.environ.get("BENCH_IMAGE_VIEW", "1") == "1",
         text_view=os.environ.get("BENCH_TEXT_VIEW", "1") == "1",
         adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
@@ -203,6 +203,8 @@ def main():
         block_layout=os.environ.get("BENCH_BLOCK_LAYOUT", "3d"),
         **({"max_loops": int(os.environ["BENCH_GREEDY_LOOPS"])}
            if "BENCH_GREEDY_LOOPS" in os.environ else {}),
+        **({"greedy_text_bucket": os.environ["BENCH_GREEDY_TBUCKET"] == "1"}
+           if "BENCH_GREEDY_TBUCKET" in os.environ else {}),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)

@@ -64,7 +64,7 @@ _NEG = -1e30
 # batch keys carrying the host-precomputed attack tables into the fully
 # fused attack+train step (train/step.py make_attacked_train_step)
 TABLE_KEYS = ("gw_tok", "gw_len", "gw_attackable", "gw_cand_tok",
-              "gw_cand_len", "gw_cand_valid", "gw_nw")
+              "gw_cand_len", "gw_cand_valid", "gw_tbucket", "gw_nw")
 
 
 def build_sequences(word_tok, word_len, T: int, cls_id: int, sep_id: int,
@@ -170,8 +170,42 @@ class FusedGreedyAttack:
                     cand_tok[i, w_idx, j, :len(cids)] = cids
                     cand_len[i, w_idx, j] = len(cids)
                     cand_valid[i, w_idx, j] = c != w
+        Ts = self._text_bucket(word_len, cand_len)
         return (word_tok, word_len, attackable, cand_tok, cand_len,
-                cand_valid, nw, words_list, M)
+                cand_valid, nw, words_list, M, Ts)
+
+    def _text_bucket(self, word_len: np.ndarray,
+                     cand_len: np.ndarray) -> int:
+        """Static text length for the ATTACK's internal forwards
+        (saliency grad + candidate scoring), rounded to /8.
+
+        `max_text_len` (reference config.py:44, 40) pads every caption;
+        typical COCO captions are ~13 sub-tokens, so the scoring
+        forward carries ~20 dead text rows of S.  All candidates of a
+        caption share its valid length, so the attack can run its
+        internal sequences in a smaller static bucket EXACTLY, provided
+        no candidate sequence can ever outgrow it: the bound below is
+        initial length + (max possible commits) x (max candidate growth)
+        + CLS + SEP, with the commit count the fixed point of the
+        reference's 20%-of-words budget (greedy_attack_vilt.py:288,
+        which grows as substitutions lengthen the text).  When the
+        bound reaches max_text_len the bucket IS max_text_len and the
+        program is unchanged.  The returned ids re-enter the train step
+        at full max_text_len either way.  Disable: cfg
+        greedy_text_bucket=False."""
+        T = self.base.max_length
+        if not getattr(self.base.cfg, "greedy_text_bucket", True):
+            return T
+        total0 = int(word_len.sum(axis=1).max()) if word_len.size else 0
+        growth = max(int(cand_len.max()) - 1, 0) if cand_len.size else 0
+        k = 0
+        for _ in range(self.base.max_loops + 1):
+            k2 = min(self.base.max_loops, int(0.2 * (total0 + k * growth + 1)))
+            if k2 <= k:
+                break
+            k = k2
+        bound = total0 + k * growth + 2
+        return min(T, max(-(-bound // 8) * 8, 8))
 
     # ----------------------------------------------------------- device
     def build_attack_body(self):
@@ -188,25 +222,57 @@ class FusedGreedyAttack:
         cls_id, sep_id, pad_id = (tok.cls_token_id, tok.sep_token_id,
                                   tok.pad_token_id)
 
-        def saliency(grads, word_len, M):
-            # (B, T, H), (B, W) -> (B, W)
+        def saliency(grads, word_len, M, Ts):
+            # (B, Ts, H), (B, W) -> (B, W)
             off = jnp.cumsum(word_len, axis=1) - word_len
             gpos = off[:, :, None] + jnp.arange(M)[None, None, :]
             valid = jnp.arange(M)[None, None, :] < word_len[:, :, None]
-            pos = jnp.clip(gpos + 1, 0, T - 1)
+            pos = jnp.clip(gpos + 1, 0, Ts - 1)
             b_idx = jnp.arange(grads.shape[0])[:, None, None]
             g = grads[b_idx, pos] * valid[..., None]          # (B, W, M, H)
             mean = g.sum(2) / jnp.maximum(word_len, 1)[..., None]
             return jnp.abs(mean).sum(-1)
 
         def fused(params, dev_batch, extras, word_tok, word_len,
-                  attackable, cand_tok, cand_len, cand_valid):
+                  attackable, cand_tok, cand_len, cand_valid,
+                  tbucket=None):
             from rmcl_tpu.models.vit import normalize_image_inputs
             dev_batch = normalize_image_inputs(
                 dev_batch, grid_hw=base.cfg.grid_hw,
                 patch_size=base.cfg.patch_size)
             B, W = word_len.shape
             M = word_tok.shape[-1]
+            # static text bucket for the attack-internal forwards
+            # (_text_bucket): EXACT by construction — no sequence can
+            # outgrow it before it equals T
+            Ts = min(T, tbucket.shape[1]) if tbucket is not None else T
+            if Ts != T:
+                # on the fused-kernel path S is padded to _S_ALIGN
+                # (models/vit.py transformer_apply hoist): the bucket
+                # only pays if it lowers the PADDED S — e.g. full-grid
+                # S=257 drops 384->256, but the recipe's
+                # max_image_len=200 keeps S_pad=256 for any Ts<=55, and
+                # the measured A/B at that shape was a wash-to-
+                # regression (ROADMAP round 4).  Keep Ts=T there so the
+                # program stays bit-identical to the unbucketed one.
+                spec = getattr(base.model, "spec", None)
+                if spec is not None and (
+                        spec.attn_impl == "fused"
+                        or spec.mlp_impl in ("fused", "fused_train")):
+                    from rmcl_tpu.ops.pallas_block import (
+                        _S_ALIGN, _round_up)
+                    cfgb = base.cfg
+                    img = (cfgb.max_image_len if cfgb.max_image_len > 0
+                           else cfgb.grid_hw[0] * cfgb.grid_hw[1])
+                    if (_round_up(1 + img + Ts, _S_ALIGN)
+                            == _round_up(1 + img + T, _S_ALIGN)):
+                        Ts = T
+            if Ts != T:
+                dev_batch = {
+                    k: (v[:, :Ts]
+                        if k in ("text_labels",) and getattr(v, "ndim", 0) == 2
+                        and v.shape[1] == T else v)
+                    for k, v in dev_batch.items()}
 
             def make_rep_keys(db, rep=NC):
                 return {key: jnp.repeat(db[key], rep, axis=0)
@@ -221,7 +287,7 @@ class FusedGreedyAttack:
                  sal_c, per_c, aux_c, need_grad) = carry
                 B, W = word_len.shape
                 M = word_tok.shape[-1]
-                ids, masks = build_sequences(word_tok, word_len, T,
+                ids, masks = build_sequences(word_tok, word_len, Ts,
                                              cls_id, sep_id, pad_id)
                 batch = dict(dev_batch, text_ids=ids, text_masks=masks)
 
@@ -242,7 +308,8 @@ class FusedGreedyAttack:
 
                     grads, (per, aux) = jax.grad(
                         scalar_loss, has_aux=True)(we)
-                    return (saliency(grads.astype(jnp.float32), word_len, M),
+                    return (saliency(grads.astype(jnp.float32),
+                                     word_len, M, Ts),
                             per.astype(jnp.float32), aux)
 
                 sal, per_loss, aux = jax.lax.cond(
@@ -277,7 +344,7 @@ class FusedGreedyAttack:
                                 word_len[:, None])                # (B,NC,W)
                 cids, cmasks = build_sequences(
                     wt2.reshape(B * NC, W, M), wl2.reshape(B * NC, W),
-                    T, cls_id, sep_id, pad_id)
+                    Ts, cls_id, sep_id, pad_id)
 
                 # candidate-scoring forward, chunked along the candidate
                 # axis when B*NC exceeds cfg.greedy_score_max_rows (the
@@ -305,8 +372,8 @@ class FusedGreedyAttack:
                                                    extras, aux)
                 else:
                     NCP = G * ncg
-                    ci = cids.reshape(B, NC, T)
-                    cm = cmasks.reshape(B, NC, T)
+                    ci = cids.reshape(B, NC, Ts)
+                    cm = cmasks.reshape(B, NC, Ts)
                     if NCP > NC:
                         # pad slots repeat the last candidate; their
                         # duplicate scores are sliced off below
@@ -314,14 +381,14 @@ class FusedGreedyAttack:
                             [ci, jnp.repeat(ci[:, -1:], NCP - NC, 1)], 1)
                         cm = jnp.concatenate(
                             [cm, jnp.repeat(cm[:, -1:], NCP - NC, 1)], 1)
-                    ci = ci.reshape(B, G, ncg, T).transpose(1, 0, 2, 3)
-                    cm = cm.reshape(B, G, ncg, T).transpose(1, 0, 2, 3)
+                    ci = ci.reshape(B, G, ncg, Ts).transpose(1, 0, 2, 3)
+                    cm = cm.reshape(B, G, ncg, Ts).transpose(1, 0, 2, 3)
 
                     def score_chunk(chunk):
                         c_ids, c_masks = chunk
                         fl = dict(batch, **make_rep_keys(dev_batch, ncg))
-                        fl["text_ids"] = c_ids.reshape(B * ncg, T)
-                        fl["text_masks"] = c_masks.reshape(B * ncg, T)
+                        fl["text_ids"] = c_ids.reshape(B * ncg, Ts)
+                        fl["text_masks"] = c_masks.reshape(B * ncg, Ts)
                         return base.score_candidates(params, fl, B, ncg,
                                                      extras, aux)
 
@@ -387,7 +454,7 @@ class FusedGreedyAttack:
             # aux prototype for the grad-reuse carry (zeros of the
             # framework's aux structure; need_grad=True on entry so the
             # first body always computes fresh values)
-            ids0_, masks0_ = build_sequences(word_tok, word_len, T,
+            ids0_, masks0_ = build_sequences(word_tok, word_len, Ts,
                                              cls_id, sep_id, pad_id)
             batch0 = dict(dev_batch, text_ids=ids0_, text_masks=masks0_)
             aux_sd = jax.eval_shape(
@@ -477,10 +544,17 @@ class FusedGreedyAttack:
         """Host precompute for the fully fused attack+train step: the
         static word/candidate tables as a dict of TABLE_KEYS arrays to
         merge into the batch (all batch-dim leading, shardable)."""
-        (wt, wl, att, ct, cl, cv, nw, _, _) = self._prep(np.asarray(ids0))
+        (wt, wl, att, ct, cl, cv, nw, _, _, Ts) = self._prep(
+            np.asarray(ids0))
+        B = wt.shape[0]
         return {"gw_tok": wt, "gw_len": wl, "gw_attackable": att,
                 "gw_cand_tok": ct, "gw_cand_len": cl,
-                "gw_cand_valid": cv, "gw_nw": nw}
+                "gw_cand_valid": cv,
+                # static text bucket carried via the SHAPE (dim 1) so the
+                # one-program step retraces per bucket exactly like the
+                # (B, W, M) table buckets; dim 0 keeps it batch-shardable
+                "gw_tbucket": np.zeros((B, Ts), np.int8),
+                "gw_nw": nw}
 
     # -------------------------------------------------------------- main
     def adv_attack_samples(self, params, batch: Dict[str, Any],
@@ -493,11 +567,11 @@ class FusedGreedyAttack:
         dict (same contract as GreedyAttack)."""
         ids0 = np.asarray(batch["text_ids"])
         (word_tok, word_len, attackable, cand_tok, cand_len, cand_valid,
-         nw, words_list, M) = self._prep(ids0)
+         nw, words_list, M, Ts) = self._prep(ids0)
 
         fn = self._jit_cache.get("fn")
         if fn is None:
-            # ONE jitted wrapper; jax retraces per (B, W, M) shape bucket
+            # ONE jitted wrapper; jax retraces per (B, W, M, Ts) bucket
             fn = self._jit_cache["fn"] = jax.jit(self.build_attack_body())
 
         dev_batch = {k: jnp.asarray(v) for k, v in batch.items()
@@ -506,7 +580,8 @@ class FusedGreedyAttack:
             params, dev_batch, extras, jnp.asarray(word_tok),
             jnp.asarray(word_len), jnp.asarray(attackable),
             jnp.asarray(cand_tok), jnp.asarray(cand_len),
-            jnp.asarray(cand_valid))
+            jnp.asarray(cand_valid),
+            jnp.zeros((ids0.shape[0], Ts), jnp.int8))
         n_changed = np.asarray(n_changed)
         change_rate = n_changed / np.maximum(nw, 1)
         out = {

@@ -221,6 +221,17 @@ class RMCLConfig:
     # proven operating points compile the identical unchunked program
     # and anything larger is capped at proven size.  0 disables.
     greedy_score_max_rows: int = 640
+    # static text-length bucket for the fused attack's INTERNAL forwards
+    # (saliency grad + candidate scoring): max_text_len pads every
+    # caption to 40 (reference config.py:44) but candidates of a caption
+    # share its valid length, so the attack runs its internal sequences
+    # at the smallest /8 bucket no candidate can outgrow (initial length
+    # + worst-case commits x candidate growth + CLS/SEP — see
+    # attacks/greedy_fused.py:_text_bucket).  EXACT by construction (no
+    # earlier truncation than the host path); the attacked ids re-enter
+    # the train step at full max_text_len.  One retrace per bucket, like
+    # the (B, W, M) table buckets.
+    greedy_text_bucket: bool = True
     # graceful preemption (SURVEY §5.3; the reference has none): while
     # fit() runs, SIGTERM sets a flag instead of killing the process;
     # at the next step boundary (agreed across hosts every

@@ -272,3 +272,110 @@ def main_v4():
 
 if __name__ == "__main__" and os.environ.get("V4", "1") == "1":
     main_v4()
+
+
+# ---- v5: BB samples per grid step, STAGE-MAJOR program order ----
+# v4 interleaves nothing if Mosaic schedules close to program order:
+# its per-sample chains appear back to back, so every dependent matmul
+# boundary (qkv -> scores -> PV -> proj) still drains the MXU pipeline.
+# v5 emits the ops stage-by-stage across the BB samples (all qkv
+# matmuls, then all scores, ...), giving an in-order scheduler BB
+# independent matmuls to overlap across each dependence boundary.
+def make_kernel_v5(BB):
+    def kernel_v5(x_ref, bias_ref, lnw_ref, lnb_ref, wqkv_ref, bqkv_ref,
+                  wproj_ref, bproj_ref, o_ref):
+        ys = [_ln(x_ref[j], lnw_ref[:], lnb_ref[:]) for j in range(BB)]
+        dt = x_ref[0].dtype
+        qkvs = [
+            (jnp.dot(y, wqkv_ref[:], preferred_element_type=jnp.float32)
+             .astype(dt) + bqkv_ref[:].astype(dt)).T.reshape(3, H, D, SP)
+            for y in ys]
+        scores = [
+            jax.lax.dot_general(
+                t[0], t[1], dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32) * SCALE
+            + bias_ref[j][None, :, :]
+            for j, t in enumerate(qkvs)]
+        ps = []
+        for s in scores:
+            m = jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s - m)
+            ps.append(e / jnp.sum(e, axis=-1, keepdims=True))
+        attns = [
+            jax.lax.dot_general(
+                t[2], p.astype(dt),
+                dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32).astype(dt)
+            .reshape(C, SP).T
+            for t, p in zip(qkvs, ps)]
+        for j, a in enumerate(attns):
+            o_ref[j] = (jnp.dot(a, wproj_ref[:],
+                                preferred_element_type=jnp.float32)
+                        .astype(dt) + bproj_ref[:].astype(dt))
+    return kernel_v5
+
+
+def main_v5():
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((B, SP, C)), jnp.bfloat16)
+    maskp = jnp.pad(jnp.ones((B, S), jnp.int32), [(0, 0), (0, SP - S)])
+    bias = jnp.where(maskp > 0, 0.0, -1e30).astype(jnp.float32)[:, None, :]
+    lnw = jnp.ones((C,), jnp.float32)
+    lnb = jnp.zeros((C,), jnp.float32)
+    wqkv = jnp.asarray(rng.standard_normal((C, 3 * C)) * 0.02, jnp.bfloat16)
+    bqkv = jnp.zeros((3 * C,), jnp.float32)
+    wproj = jnp.asarray(rng.standard_normal((C, C)) * 0.02, jnp.bfloat16)
+    bproj = jnp.zeros((C,), jnp.float32)
+
+    def chain(fn):
+        def make(n):
+            def prog(x0):
+                out = jax.lax.fori_loop(0, n, lambda i, a: fn(a), x0)
+                return jnp.sum(out.astype(jnp.float32))
+            return jax.jit(prog)
+        return make
+
+    def call_v5(BB, a):
+        const2 = lambda b: (0, 0)  # noqa: E731
+        return pl.pallas_call(
+            make_kernel_v5(BB),
+            grid=(B // BB,),
+            in_specs=[
+                pl.BlockSpec((BB, SP, C), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((BB, 1, SP), lambda b: (b, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C,), lambda b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C,), lambda b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, 3 * C), const2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((3 * C,), lambda b: (0,),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((C, C), const2, memory_space=pltpu.VMEM),
+                pl.BlockSpec((C,), lambda b: (0,),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=pl.BlockSpec((BB, SP, C), lambda b: (b, 0, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((B, SP, C), x.dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(a, bias, lnw, lnb, wqkv, bqkv, wproj, bproj)
+
+    for BB in (2, 4):
+        per, n = bench_prog(chain(lambda a, BB=BB: call_v5(BB, a)), x)
+        print(f"  v5 stage-major BB={BB}  {per * 1e3:7.3f} ms  "
+              f"{FLOPS / per / 1e12:6.1f} TF/s", flush=True)
+    # parity
+    from rmcl_tpu.ops import pallas_block as PB
+    ref = PB._xla_twin(x[:, :S, :], jnp.ones((B, S), jnp.int32), lnw, lnb,
+                       wqkv.astype(jnp.float32), bqkv,
+                       wproj.astype(jnp.float32), bproj, H, SCALE, EPS)
+    got = call_v5(2, x)[:, :S, :]
+    err = jnp.max(jnp.abs(got.astype(jnp.float32) - ref.astype(jnp.float32)))
+    print(f"  v5 max|err| vs twin = {err:.2e}", flush=True)
+
+
+if __name__ == "__main__" and os.environ.get("V5", "1") == "1":
+    main_v5()

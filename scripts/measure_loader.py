@@ -22,6 +22,49 @@ os.environ.setdefault("JAX_PLATFORMS", "cpu")
 from smoke_tpu_e2e import make_data  # noqa: E402  (same dataset)
 
 
+def gil_probe(loader, n_batches: int) -> float:
+    """Measured GIL-held fraction of the loader's sample work.
+
+    A pure-Python spinner thread counts increments; on a 1-core box its
+    rate while the loader runs, relative to its solo rate, is the
+    fraction of wall-clock the GIL was FREE (loader inside GIL-releasing
+    C calls: PIL decode, the ctypes imageproc/wordpiece extensions,
+    numpy).  Thread-based worker scaling on a many-core host is capped
+    at ~1/gil_frac workers; this turns the 1-core box into a real data
+    point for the production sizing model instead of an assumption.
+    """
+    import threading
+
+    stop = threading.Event()
+    counts = [0]
+
+    def spin():
+        c = 0
+        while not stop.is_set():
+            c += 1
+        counts[0] = c
+
+    # solo spinner rate
+    t = threading.Thread(target=spin)
+    t.start(); time.sleep(1.0); stop.set(); t.join()
+    solo_rate = counts[0] / 1.0
+
+    # spinner vs the loader
+    stop.clear()
+    t = threading.Thread(target=spin)
+    it = iter(loader)
+    next(it)                                       # warm the pool
+    t.start()
+    t0 = time.perf_counter()
+    for i, _ in enumerate(it):
+        if i >= n_batches:
+            break
+    dt = time.perf_counter() - t0
+    stop.set(); t.join()
+    during_rate = counts[0] / dt
+    return max(0.0, 1.0 - during_rate / solo_rate)
+
+
 def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     bs = int(sys.argv[2]) if len(sys.argv) > 2 else 64
@@ -54,6 +97,15 @@ def main():
         ips = nb * bs / dt
         print(f"workers={workers}: {ips:7.1f} images/s "
               f"({nb} batches of {bs} in {dt:.2f}s)")
+
+    # GIL-held fraction -> thread-scaling ceiling on a many-core host
+    dm = MultitaskDataModule(cfg.replace(num_workers=1), vocab_path=vocab)
+    dm.setup()
+    frac = gil_probe(dm.train_loader(bs), n_batches=max(2, n // bs - 2))
+    ceil = (1.0 / frac) if frac > 1e-3 else float("inf")
+    print(f"gil_held_frac={frac:.3f} -> thread-scaling ceiling "
+          f"~{ceil:.1f} effective workers "
+          f"(host img/s ceiling ~ per-core rate x min(vCPUs, {ceil:.1f}))")
 
 
 if __name__ == "__main__":

@@ -574,3 +574,55 @@ def test_attacked_train_step_one_program_nlvr2(moco_setup, tiny_tok,
     w1 = np.asarray(ts1.params["nlvr2_classifier"]["0"]["kernel"])
     w2 = np.asarray(ts2.params["nlvr2_classifier"]["0"]["kernel"])
     np.testing.assert_allclose(w1, w2, atol=1e-6)
+
+
+def test_fused_greedy_text_bucket_exact(moco_setup, tiny_tok,
+                                        tiny_synonyms):
+    """greedy_text_bucket (attacks/greedy_fused.py:_text_bucket) must be
+    a pure perf transform: the attack's internal forwards run at the
+    smaller static text bucket Ts < max_text_len, yet the final token
+    ids / masks / change counts equal both the unbucketed fused program
+    and the host orchestrator."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+
+    # widen T so the bucket visibly engages (captions stay ~6 tokens)
+    cfg = moco_setup.replace(vocab_size=tiny_tok.vocab_size,
+                             max_text_len=24)
+    model = ViLTModel(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    sentences = ["dog runs in park", "cat sits in street",
+                 "big red car on road", "the a on in"]
+    ids, masks = tiny_tok.batch_encode(sentences, cfg.max_text_len)
+    fb = make_fake_batch(cfg, batch=len(sentences))
+    batch = {
+        "image": fb["image"],
+        "text_ids": ids.astype(np.int32),
+        "text_masks": masks.astype(np.int32),
+        "text_labels": np.full_like(ids, -100),
+    }
+    dev = {k: jnp.asarray(v) for k, v in batch.items()}
+    infer_k = model.infer_k(params, dev, deterministic=True)
+    k = l2_normalize(moco_head(params["k_moco_head"], infer_k["cls_feats"]), 1)
+    extras = (k, state["proj_queue"], cfg.temperature)
+
+    outs = {}
+    for bucket in (False, True):
+        c = cfg.replace(greedy_text_bucket=bucket)
+        att = FusedGreedyAttack(
+            GreedyAttackMoco(c, model, tiny_tok, tiny_synonyms))
+        if bucket:
+            tb = att.prep_tables(ids.astype(np.int32))["gw_tbucket"]
+            assert tb.shape[1] < cfg.max_text_len, \
+                "bucket should engage for short captions"
+            assert tb.shape[1] % 8 == 0
+        outs[bucket] = att.adv_attack_samples(params, batch, extras)
+
+    host = GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms)
+    out_h = host.adv_attack_samples(params, batch, extras)
+
+    for o in (outs[True], outs[False]):
+        np.testing.assert_array_equal(o["txt_input_ids"],
+                                      out_h["txt_input_ids"])
+        np.testing.assert_array_equal(o["text_masks"], out_h["text_masks"])
+        assert o["changes_verification"] == out_h["changes_verification"]
+    assert outs[True]["num_changes"] > 0
