@@ -148,6 +148,13 @@ class RMCLConfig:
     num_nodes: int = 1
     load_path: str = ""
     num_workers: int = 4
+    # loader worker PROCESSES (0 = thread pool).  The thread pool's
+    # scaling ceiling is the measured GIL-held fraction of the sample
+    # work (~0.32 -> ~3.1 effective workers, scripts/measure_loader.py
+    # --gil probe); fork-based worker processes sidestep the GIL like
+    # the reference's torch DataLoader workers and scale with vCPUs
+    # (data/loader.py).  Requires os.fork (POSIX).
+    num_worker_procs: int = 0
     precision: int = 16  # kept for parity; on TPU this selects bf16 compute
 
     # ----- TPU-native knobs (no reference counterpart) -----

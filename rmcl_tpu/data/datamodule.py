@@ -130,7 +130,17 @@ class MultitaskDataModule:
             collate_fn=self.collate, shuffle=shuffle, seed=self.cfg.seed,
             drop_last=drop_last, num_workers=self.cfg.num_workers,
             process_index=self.process_index,
-            process_count=self.process_count)
+            process_count=self.process_count,
+            num_worker_procs=getattr(self.cfg, "num_worker_procs", 0),
+            worker_reseed=self._worker_reseed)
+
+    def _worker_reseed(self, seed: int) -> None:
+        """Per-batch RNG reseed inside loader worker processes (the
+        collator's streams live on this datamodule; the global
+        random/np.random modules are reseeded by the loader itself)."""
+        c = getattr(self, "mlm_collator", None)
+        if c is not None and hasattr(c, "reseed"):
+            c.reseed(seed)
 
     def train_loader(self, per_host_batch: int) -> DataLoader:
         return self._loader("train", per_host_batch, True, True)

@@ -10,12 +10,40 @@ batches come out as plain numpy dicts ready for ``jax.device_put``.
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
+
+# fork-inherited worker state for the process-pool mode: set by the
+# parent immediately before Pool creation; children receive it through
+# the fork snapshot, so the dataset (pyarrow mmaps, tokenizer) is never
+# pickled.  Read-only in workers.
+_FORK_STATE: Dict[str, Any] = {}
+
+
+def _proc_make_batch(args):
+    bidx, valid, seed = args
+    # Per-BATCH deterministic reseeding: all forked children share one
+    # RNG snapshot, so without this every worker would replay the same
+    # mask/false-draw stream (correlated batches).  Seeding by (loader
+    # seed, epoch, batch index) also makes the stream invariant to the
+    # worker count — stronger than torch DataLoader's per-worker
+    # base_seed+worker_id, which changes data when num_workers changes.
+    import random as _random
+    _random.seed(seed)
+    np.random.seed(seed % (2 ** 32))
+    reseed = _FORK_STATE.get("reseed")
+    if reseed is not None:
+        reseed(seed)
+    ds = _FORK_STATE["dataset"]
+    samples = [ds[int(i)] for i in bidx]
+    batch = _FORK_STATE["collate"](samples)
+    batch["_valid"] = valid
+    return batch
 
 
 class ConcatDataset:
@@ -49,7 +77,8 @@ class DataLoader:
                  collate_fn: Callable[[List[Dict[str, Any]]], Dict[str, Any]],
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  num_workers: int = 4, prefetch: int = 2,
-                 process_index: int = 0, process_count: int = 1):
+                 process_index: int = 0, process_count: int = 1,
+                 num_worker_procs: int = 0, worker_reseed=None):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -60,6 +89,8 @@ class DataLoader:
         self.prefetch = prefetch
         self.process_index = process_index
         self.process_count = process_count
+        self.num_worker_procs = num_worker_procs if hasattr(os, "fork") else 0
+        self.worker_reseed = worker_reseed
         self.epoch = 0
         self.skip_batches = 0
 
@@ -120,6 +151,9 @@ class DataLoader:
             yield idx[s:s + self.batch_size], valid
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
+        if self.num_worker_procs > 0:
+            yield from self._iter_procs()
+            return
         pool = ThreadPoolExecutor(max_workers=self.num_workers)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -151,3 +185,51 @@ class DataLoader:
         finally:
             stop.set()
             pool.shutdown(wait=False)
+
+    def _iter_procs(self) -> Iterator[Dict[str, Any]]:
+        """Fork-based worker processes (the reference's torch DataLoader
+        num_workers model): each batch's decode+collate runs in a child
+        process, sidestepping the GIL ceiling of the thread pool (the
+        sample work holds the GIL ~32% of the time — measured in
+        scripts/measure_loader.py — capping threads at ~3 effective
+        workers no matter the vCPU count).  The dataset reaches the
+        children through the fork snapshot (pyarrow mmaps are
+        fork-safe read-only); only index arrays go out and one batch
+        dict comes back per task.  `imap` keeps epoch order
+        deterministic and `maxtasksperchild=None` keeps children warm.
+        """
+        import itertools
+        from collections import deque
+
+        import multiprocessing as mp
+
+        ctx = mp.get_context("fork")
+        _FORK_STATE["dataset"] = self.dataset
+        _FORK_STATE["collate"] = self.collate_fn
+        _FORK_STATE["reseed"] = self.worker_reseed
+        pool = ctx.Pool(self.num_worker_procs)
+
+        def tasks():
+            for k, (bidx, valid) in enumerate(self._batches()):
+                yield (bidx, valid,
+                       (self.seed * 1_000_003 + self.epoch * 10_007
+                        + self.skip_batches + k))
+
+        try:
+            # bounded in-flight window (imap's feeder would decode the
+            # whole epoch ahead of a slow consumer — unbounded memory)
+            it = tasks()
+            pend = deque(
+                pool.apply_async(_proc_make_batch, (t,))
+                for t in itertools.islice(
+                    it, self.num_worker_procs + self.prefetch))
+            while pend:
+                out = pend.popleft().get()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pend.append(pool.apply_async(_proc_make_batch, (nxt,)))
+                yield out
+        finally:
+            pool.terminate()
+            pool.join()
+            _FORK_STATE.clear()

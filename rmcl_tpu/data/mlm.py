@@ -52,6 +52,12 @@ class MLMCollator:
                       "sep_token_id", "mask_token_id")
             if getattr(tokenizer, a, None) is not None}), np.int64)
 
+    def reseed(self, seed: int):
+        """Replace the mask RNG streams (per-batch worker-process
+        reseeding, data/loader.py:_proc_make_batch)."""
+        self.rng = np.random.RandomState(seed % (2 ** 32))
+        self.pyrng = pyrandom.Random(seed)
+
     # ------------------------------------------------------------------
     def __call__(self, input_ids: np.ndarray,
                  special_tokens_mask: np.ndarray

@@ -98,6 +98,26 @@ def main():
         print(f"workers={workers}: {ips:7.1f} images/s "
               f"({nb} batches of {bs} in {dt:.2f}s)")
 
+    # process-pool workers (cfg.num_worker_procs): GIL-free scaling;
+    # on this 1-core box the sweep measures fork+IPC overhead only —
+    # the per-worker rate curve is the datum for many-core sizing
+    for procs in (1, 2, 4):
+        dm = MultitaskDataModule(
+            cfg.replace(num_worker_procs=procs), vocab_path=vocab)
+        dm.setup()
+        loader = dm.train_loader(bs)
+        it = iter(loader)
+        next(it)
+        t0 = time.perf_counter()
+        nb = 0
+        for b in it:
+            nb += 1
+            if nb >= max(4, (n // bs) - 2):
+                break
+        dt = time.perf_counter() - t0
+        print(f"procs={procs}:   {nb * bs / dt:7.1f} images/s "
+              f"({nb} batches of {bs} in {dt:.2f}s)")
+
     # GIL-held fraction -> thread-scaling ceiling on a many-core host
     dm = MultitaskDataModule(cfg.replace(num_workers=1), vocab_path=vocab)
     dm.setup()

@@ -591,3 +591,48 @@ def test_skip_unused_false_draws(arrow_dir, tmp_path):
 
     off = batch_for({"moco": 1}, skip_unused_false_draws=False)
     assert "false_image_0" in off               # reference-faithful mode
+
+
+def test_loader_process_workers(arrow_dir, tok):
+    """Fork-based worker processes (cfg.num_worker_procs,
+    data/loader.py:_iter_procs): same batch-index stream and sample
+    CONTENT as the thread loader for RNG-free fields, deterministic
+    across worker counts (per-batch reseeding), and epoch/sharding
+    semantics preserved."""
+    import os as _os
+    if not hasattr(_os, "fork"):
+        pytest.skip("no fork on this platform")
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok)
+    coll = MLMCollator(tok, seed=0)
+
+    def cfn(samples):
+        return collate(samples, coll, bucket_hw=(64, 64))
+
+    def run(procs, epoch=0):
+        l = DataLoader(ds, 2, cfn, shuffle=True, seed=1, num_workers=2,
+                       num_worker_procs=procs,
+                       worker_reseed=coll.reseed if procs else None)
+        l.set_epoch(epoch)
+        return list(l)
+
+    thread_b = run(0)
+    proc1_b = run(1)
+    proc2_b = run(2)
+    assert len(proc1_b) == len(thread_b) > 0
+    for bt, b1, b2 in zip(thread_b, proc1_b, proc2_b):
+        # RNG-free fields match the thread loader exactly
+        for k in ("text_ids", "text_masks", "image"):
+            np.testing.assert_array_equal(b1[k], bt[k])
+        np.testing.assert_array_equal(b1["_valid"], bt["_valid"])
+        # the FULL batch (incl. mlm masking RNG) is invariant to the
+        # worker count — per-batch reseeding, stronger than torch
+        for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]),
+                                          np.asarray(b2[k]), err_msg=k)
+    # different epochs still reshuffle
+    assert any(
+        not np.array_equal(a["text_ids"], b["text_ids"])
+        for a, b in zip(proc1_b, run(1, epoch=1)))
