@@ -274,6 +274,25 @@ class FusedGreedyAttack:
                         and v.shape[1] == T else v)
                     for k, v in dev_batch.items()}
 
+            def eligibility(word_len_, history_, n_changed_,
+                            attackable_):
+                # host mapping truncation (greedy.py:256-265): words
+                # stay eligible only while the running offset fits
+                # max_length; budget at the SEP INDEX = mask sum - 1
+                # (reference greedy_attack_vilt.py:288) — computed
+                # directly from word lengths (== the in-loop masks
+                # formula: sum(masks)-1 = min(total, Ts-2)+1)
+                off_end = jnp.cumsum(word_len_, axis=1)
+                incl = jnp.cumprod((off_end < T).astype(jnp.int32),
+                                   axis=1).astype(bool)
+                total = jnp.minimum(jnp.sum(word_len_, axis=1), Ts - 2)
+                max_changes = jnp.minimum(
+                    ((total + 1).astype(jnp.float32) * 0.2)
+                    .astype(jnp.int32),
+                    base.max_loops)
+                return (attackable_ & incl & (~history_)
+                        & (n_changed_ < max_changes)[:, None])
+
             def make_rep_keys(db, rep=NC):
                 return {key: jnp.repeat(db[key], rep, axis=0)
                         for key in ("text_labels", "image", "image_0",
@@ -315,19 +334,8 @@ class FusedGreedyAttack:
                 sal, per_loss, aux = jax.lax.cond(
                     need_grad, fresh, lambda _: (sal_c, per_c, aux_c),
                     None)
-                # host mapping truncation (greedy.py:256-265): words stay
-                # eligible only while the running offset fits max_length
-                off_end = jnp.cumsum(word_len, axis=1)
-                incl = jnp.cumprod((off_end < T).astype(jnp.int32),
-                                   axis=1).astype(bool)
-                # budget at the SEP INDEX = mask sum - 1 (reference
-                # greedy_attack_vilt.py:288; matches greedy.py:_pick_word)
-                text_len = jnp.sum(masks, axis=1) - 1
-                max_changes = jnp.minimum(
-                    (text_len.astype(jnp.float32) * 0.2).astype(jnp.int32),
-                    base.max_loops)
-                eligible = (attackable & incl & (~history)
-                            & (n_changed < max_changes)[:, None])
+                eligible = eligibility(word_len, history, n_changed,
+                                       attackable)
                 has_pick = jnp.any(eligible, axis=1)
                 pick = jnp.argmax(
                     jnp.where(eligible, sal, _NEG), axis=1)      # (B,)
@@ -409,9 +417,18 @@ class FusedGreedyAttack:
                     commit, pick_len[b_idx, best][:, None], word_len)
                 history = history | (onehot & has_pick[:, None])
                 n_changed = n_changed + improved.astype(jnp.int32)
+                # NEXT loop's liveness from the POST-commit state: the
+                # old start-of-loop has_pick made the while loop run one
+                # provably-dead body (full scoring forward + grad pass,
+                # ~39 ms at b16) after the last sample's eligibility
+                # exhausted.  Same eligibility formula, updated state —
+                # token-id-exact (the skipped body is a no-op).
+                live_next = jnp.any(
+                    eligibility(new_len, history, n_changed, attackable),
+                    axis=1)
                 return ((new_tok, new_len, history, n_changed,
                          sal, per_loss, aux, jnp.any(improved)),
-                        has_pick)
+                        live_next)
               return body
 
             # while-loop with early exit: once NO sample has an eligible
@@ -464,10 +481,12 @@ class FusedGreedyAttack:
                                 aux_sd)
             sal0 = jnp.zeros((B, W), jnp.float32)
             per0 = jnp.zeros((B,), jnp.float32)
+            live0 = jnp.any(
+                eligibility(word_len, history0, n0, attackable), axis=1)
             i1, live1, (word_tok, word_len, history, n_changed,
                         sal, per, aux, need_grad) = jax.lax.while_loop(
                 w_cond, w_body,
-                (jnp.int32(0), jnp.ones((B,), bool),
+                (jnp.int32(0), live0,
                  (word_tok, word_len, history0, n0,
                   sal0, per0, aux0, jnp.bool_(True))))
 
