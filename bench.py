@@ -205,6 +205,8 @@ def main():
            if "BENCH_GREEDY_LOOPS" in os.environ else {}),
         **({"greedy_text_bucket": os.environ["BENCH_GREEDY_TBUCKET"] == "1"}
            if "BENCH_GREEDY_TBUCKET" in os.environ else {}),
+        **({"greedy_compact_frac": float(os.environ["BENCH_COMPACT_FRAC"])}
+           if "BENCH_COMPACT_FRAC" in os.environ else {}),
     )
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)

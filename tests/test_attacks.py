@@ -296,18 +296,19 @@ def test_fused_greedy_compaction_exact(moco_setup, tiny_tok,
     extras = (k, state["proj_queue"], cfg.temperature)
 
     outs = {}
-    for frac in (0.0, 0.25):
+    for frac in (0.0, 0.25, 0.5):
         c = cfg.replace(greedy_compact_frac=frac)
         att = FusedGreedyAttack(
             GreedyAttackMoco(c, model, tiny_tok, tiny_synonyms))
         outs[frac] = att.adv_attack_samples(params, batch, extras)
-    np.testing.assert_array_equal(outs[0.25]["txt_input_ids"],
-                                  outs[0.0]["txt_input_ids"])
-    np.testing.assert_array_equal(outs[0.25]["text_masks"],
-                                  outs[0.0]["text_masks"])
-    assert (outs[0.25]["changes_verification"]
-            == outs[0.0]["changes_verification"])
-    assert outs[0.25]["num_changes"] > 0
+    for frac in (0.25, 0.5):
+        np.testing.assert_array_equal(outs[frac]["txt_input_ids"],
+                                      outs[0.0]["txt_input_ids"])
+        np.testing.assert_array_equal(outs[frac]["text_masks"],
+                                      outs[0.0]["text_masks"])
+        assert (outs[frac]["changes_verification"]
+                == outs[0.0]["changes_verification"])
+    assert outs[0.5]["num_changes"] > 0
 
 
 def test_fused_greedy_chunked_scoring_exact(moco_setup, tiny_tok,
