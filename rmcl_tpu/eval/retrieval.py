@@ -120,6 +120,22 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     if attack_text_fn is not None:
         text_ids, text_masks = attack_text_fn(text_ids, text_masks)
 
+    # rank at the smallest /8 text bucket covering every caption
+    # (computed AFTER the text attack, which can lengthen texts).
+    # EXACT: the dropped rows are all-pad and attention-masked; the win
+    # is geometric — at the reference's own irtr eval config
+    # (max_image_len=-1, config.py:349-406 leaves the -1 default) the
+    # sequence is ~217+1+40 = 258, which the fused kernels pad to 384;
+    # bucketing typical ~16-token captions brings S back under 256,
+    # dropping a whole 128-row tile (~33% of the O(n_img x n_txt) rank
+    # FLOPs).  Same numeric class as padded-batch composition
+    # (reference EVAL.md:2); disable with cfg.greedy_text_bucket=False.
+    if getattr(cfg, "greedy_text_bucket", True) and n_txt_total:
+        tb = int(text_masks.sum(axis=1).max())
+        tb = min(cfg.max_text_len, max(-(-tb // 8) * 8, 8))
+        text_ids = text_ids[:, :tb]
+        text_masks = text_masks[:, :tb]
+
     # ---- 3. jitted pair scorer: one image's cached embeds vs a text
     # chunk.  Params are explicit jit ARGUMENTS — closing over them can
     # bake host-resident leaves into the HLO as constants (remote

@@ -26,6 +26,10 @@ import os
 N_IMAGES = 5000
 N_TEXTS = 25010
 TXT_CHUNK = int(os.environ.get("RECALL_CHUNK", "256"))
+MAX_IMAGE_LEN = int(os.environ.get("RECALL_MAX_IMAGE_LEN", "200"))
+# ranked text length: 40 = unbucketed max_text_len; eval/retrieval.py's
+# text bucket ranks at the /8 bucket of the real caption lengths (~16)
+TEXT_LEN = int(os.environ.get("RECALL_TEXT_LEN", "40"))
 
 
 def main():
@@ -36,8 +40,10 @@ def main():
 
     cfg = build_config(
         "task_finetune_irtr_coco_randaug",
-        image_bucket_hw=(384, 576), max_image_len=200,
+        image_bucket_hw=(384, 576), max_image_len=MAX_IMAGE_LEN,
         compute_dtype="bfloat16", image_layout="patch")
+    print(f"max_image_len={MAX_IMAGE_LEN} text_len={TEXT_LEN}",
+          file=sys.stderr, flush=True)
     print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
     params, _ = init_vilt(jax.random.PRNGKey(0), cfg)
     model = ViLTModel(cfg)
@@ -57,7 +63,7 @@ def main():
                           jnp.float32)
     ids = jnp.asarray(
         np.random.RandomState(1).randint(1000, 2000,
-                                         (TXT_CHUNK, cfg.max_text_len)),
+                                         (TXT_CHUNK, TEXT_LEN)),
         jnp.int32)
     masks = jnp.ones_like(ids)
 

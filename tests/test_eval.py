@@ -910,3 +910,43 @@ def test_trainer_grad_accumulation_wiring(tmp_path):
     assert int(tr.ts.step) == 2
     assert int(tr.ts.opt_state.gradient_step) == 1
     assert int(tr.ts.opt_state.mini_step) == 0
+
+
+def test_recall_text_bucket_exact(tmp_path):
+    """The recall text bucket (eval/retrieval.py: rank at the /8 bucket
+    of the real caption lengths) must not change a single pair score —
+    the dropped rows are all-pad and attention-masked."""
+    import jax
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.eval.retrieval import compute_irtr_recall
+    from rmcl_tpu.train.loop import Trainer
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow), n=4)
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    def run(bucket):
+        cfg = build_config(
+            "task_finetune_irtr_coco",
+            datasets=("coco",), data_root=str(arrow),
+            hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+            image_size=32, image_bucket_hw=(32, 48),
+            # captions are ~4 tokens: the bucket engages at 8 < 24
+            max_text_len=24,
+            vocab_size=64, use_pallas_attention=False,
+            compute_dtype="float32", drop_rate=0.0, max_steps=2,
+            warmup_steps=0, batch_size=8, draw_false_text=2,
+            num_workers=2, max_image_len=-1,
+            greedy_text_bucket=bucket,
+            log_dir=str(tmp_path / f"out{int(bucket)}"))
+        tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab,
+                     use_mesh=False)
+        tr.setup()
+        return compute_irtr_recall(tr, split="test", txt_chunk=4,
+                                   verbose=False)
+
+    r_on = run(True)
+    r_off = run(False)
+    assert r_on == r_off
