@@ -492,18 +492,22 @@ class FusedGreedyAttack:
 
             if compactable:
                 # geometric cascade of compact stages Bc_k = ceil(B *
-                # frac^k) down to 1 (e.g. B=16, frac=0.25 -> [4, 1]):
-                # each stage runs while more than the NEXT bucket's
-                # worth of samples stay live, then re-gathers.  Tail
-                # loops where a single stubborn sentence keeps the
-                # whole batch's scoring forward alive shrink to a
-                # 1-sample program.
+                # frac^k) (e.g. B=16, frac=0.5 -> [8, 4]): each stage
+                # runs while more than the NEXT bucket's worth of
+                # samples stay live, then re-gathers.  Depth capped at
+                # TWO stages: the measured win lives in the first
+                # (half-live) stage (worst-mix 438 -> 389 ms, round 4);
+                # a third stage added nothing in every measured mix
+                # (round 3) and its extra compiled scoring/grad
+                # programs tipped the smoke_tpu_e2e process — which
+                # also holds the one-program train and eval
+                # executables — into a TPU worker OOM-crash.
                 stages, k = [], 1
                 while True:
                     bc = int(np.ceil(B * frac ** k))
                     if not stages or bc < stages[-1]:
                         stages.append(bc)
-                    if bc <= 1 or len(stages) >= 3:
+                    if bc <= 1 or len(stages) >= 2:
                         break
                     k += 1
 

@@ -97,6 +97,43 @@ def _host_rows(v) -> np.ndarray:
     return np.concatenate([pieces[k] for k in sorted(pieces)], axis=0)
 
 
+_TEXT_KEY_SUFFIXES = ("_ids", "_masks", "_labels", "_ids_mlm",
+                      "_labels_mlm")
+
+
+def bucket_text_batch(batch: Dict[str, Any],
+                      max_text_len: int) -> Dict[str, Any]:
+    """Slice every text-grid key to the smallest /8 bucket covering all
+    valid tokens — the train-path twin of the attack/recall text
+    buckets (PARITY #31).  Exact: the dropped columns are all-pad /
+    all--100 and attention-masked.  Pays geometrically wherever the
+    sequence crosses a 128-row kernel tile: the reference's irtr
+    finetune configs leave max_image_len=-1 (config.py:349-406), where
+    S = ~217 image tokens + 40 text pads to 384; real ~16-token
+    captions bucket back under 256 (-33% kernel FLOPs per step).  At
+    max_image_len=200 configs the padded S is unchanged and so is the
+    program (bucket == max_text_len almost always; a smaller bucket
+    changes only which all-pad columns ride along)."""
+    mask_keys = [k for k in batch
+                 if "text" in k and k.endswith("_masks")
+                 and getattr(batch[k], "ndim", 0) == 2
+                 and batch[k].shape[1] == max_text_len]
+    if not mask_keys:
+        return batch
+    tb = max(int(np.asarray(batch[k]).sum(axis=1).max())
+             for k in mask_keys)
+    tb = min(max_text_len, max(-(-tb // 8) * 8, 8))
+    if tb == max_text_len:
+        return batch
+    out = dict(batch)
+    for k, v in batch.items():
+        if ("text" in k and getattr(v, "ndim", 0) == 2
+                and v.shape[1] == max_text_len
+                and k.endswith(_TEXT_KEY_SUFFIXES)):
+            out[k] = v[:, :tb]
+    return out
+
+
 def _device_batch(batch: Dict[str, Any], mesh) -> Dict[str, Any]:
     # jax.Array values pass straight through: the fused greedy attack
     # returns attacked ids as DEVICE arrays (fetch=False) that must not
@@ -341,6 +378,17 @@ class Trainer:
             self.greedy = build_greedy_attacker(cfg, self.model,
                                                 self.dm.tokenizer)
 
+        # train/eval text bucket (bucket_text_batch): off whenever a
+        # text view/augmentation supplies (B, max_text_len) attacked
+        # ids that would mismatch a sliced batch, and off multi-host
+        # (per-host buckets could differ and desynchronise the global
+        # batch assembly — a scalar all-reduce per batch would fix it
+        # if ever needed)
+        self._text_bucket = (getattr(cfg, "greedy_text_bucket", True)
+                             and not cfg.text_view
+                             and not cfg.augmentation
+                             and jax.process_count() == 1)
+
         from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
         _attackable_tasks = ("moco", "barlowtwins", "nlvr2_attacked",
                              "vqa_attacked", "irtr_attacked")
@@ -559,6 +607,9 @@ class Trainer:
                     else:
                         batch = self._attach_text_attack(raw)
                     fut = None
+                    if self._text_bucket:
+                        batch = bucket_text_batch(batch,
+                                                  self.cfg.max_text_len)
                     db = _device_batch(batch, self.mesh)
                     sub = jax.random.fold_in(rng, self.steps_done)
                     self.ts, metrics = self.step_fn(self.ts, db, sub)
@@ -665,6 +716,8 @@ class Trainer:
             # compute_geometric, objectives.py:277-285)
             batch = self._attach_text_attack(batch, bag=bag,
                                              for_train=False)
+            if getattr(self, "_text_bucket", False):
+                batch = bucket_text_batch(batch, self.cfg.max_text_len)
             db = _device_batch(batch, self.mesh)
             rng, sub = jax.random.split(rng)
             ret = self.eval_fn(self.ts.params, self.ts.state, db, sub)

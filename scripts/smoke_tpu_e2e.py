@@ -104,7 +104,8 @@ def run_cli(arrow_dir, vocab, vectors, max_steps, resume=False):
         "warmup_steps=2", "num_workers=2",
         "get_recall_metric=False",
         f"log_dir={os.path.join(ROOT, 'out')}",
-    ] + (["resume_from=last"] if resume else []))
+    ] + (["resume_from=last"] if resume else [])
+      + [a for a in os.environ.get("SMOKE_EXTRA", "").split() if a])
 
 
 def main():

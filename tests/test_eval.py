@@ -950,3 +950,102 @@ def test_recall_text_bucket_exact(tmp_path):
     r_on = run(True)
     r_off = run(False)
     assert r_on == r_off
+
+
+def test_trainer_text_bucket_parity(tmp_path):
+    """The train/eval text bucket (train/loop.py:bucket_text_batch) is a
+    pure perf transform: a short-caption fit at max_text_len=24 with the
+    bucket engaged (Tb=8) matches the unbucketed run's params and losses
+    (fp32 CPU; the dropped columns are all-pad/-100 and masked), and the
+    bucket is disabled for text_view configs where attacked ids arrive
+    at full width."""
+    from rmcl_tpu.data.tokenizer import make_tiny_vocab
+    from rmcl_tpu.train.loop import Trainer, bucket_text_batch
+
+    arrow = tmp_path / "arrow"
+    arrow.mkdir()
+    _write_caption_arrow(str(arrow))
+    vocab = str(tmp_path / "vocab.txt")
+    make_tiny_vocab(vocab, ["dog", "running", "park", "the"])
+
+    def run(bucket):
+        # pin the GLOBAL random stream: false-image draws use the
+        # `random` module, whose state would otherwise carry from the
+        # first run into the second (different itm negatives, nothing
+        # to do with bucketing)
+        import random as _r
+        _r.seed(123)
+        np.random.seed(123)
+        cfg = build_config(
+            "task_mlm_itm",
+            datasets=("coco",), data_root=str(arrow),
+            hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+            image_size=32, image_bucket_hw=(32, 48), max_text_len=24,
+            vocab_size=64, use_pallas_attention=False,
+            compute_dtype="float32", drop_rate=0.0, max_steps=3,
+            warmup_steps=0, batch_size=4, draw_false_image=1,
+            # ONE worker thread: the false-image draws consume the
+            # global `random` stream, whose interleaving across pool
+            # threads is racy — irrelevant to bucketing but fatal to a
+            # run-vs-run parity assertion
+            num_workers=1, max_image_len=-1,
+            greedy_text_bucket=bucket,
+            log_dir=str(tmp_path / f"out{int(bucket)}"))
+        tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab,
+                     use_mesh=False)
+        tr.setup()
+        assert tr._text_bucket == bucket
+        losses = []
+        orig = tr.step_fn
+
+        def spy(ts, db, rng):
+            ts, m = orig(ts, db, rng)
+            losses.append(float(m["total_loss"]))
+            return ts, m
+
+        tr.step_fn = spy
+        ts = tr.fit()
+        return ts, losses
+
+    import jax
+
+    ts_on, loss_on = run(True)
+    ts_off, loss_off = run(False)
+    # first-step loss is semantics: any real mask-invariance bug shows
+    # up here at 1e-2+; the later-step/params tolerance is looser
+    # because the S-extent change regroups fp32 reduction orders and
+    # AdamW's grad/sqrt(v) chaotically amplifies those last-ulp diffs
+    np.testing.assert_allclose(loss_on[0], loss_off[0], rtol=1e-5)
+    np.testing.assert_allclose(loss_on, loss_off, rtol=2e-4)
+    jax.tree_util.tree_map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=1e-4),
+        ts_on.params, ts_off.params)
+
+    # unit: the slicer touches exactly the text-grid keys
+    b = {"text_ids": np.zeros((2, 24), np.int32),
+         "text_masks": np.concatenate(
+             [np.ones((2, 5), np.int32), np.zeros((2, 19), np.int32)], 1),
+         "text_labels_mlm": np.full((2, 24), -100, np.int32),
+         "image": np.zeros((2, 8, 8, 3), np.float32),
+         "qid": np.arange(2)}
+    out = bucket_text_batch(b, 24)
+    assert out["text_ids"].shape == (2, 8)
+    assert out["text_labels_mlm"].shape == (2, 8)
+    assert out["image"].shape == (2, 8, 8, 3)
+    assert out["qid"].shape == (2,)
+
+    # gate: text_view configs keep full width
+    cfg_tv = build_config(
+        "task_moco", datasets=("coco",), data_root=str(arrow),
+        hidden_size=32, num_heads=2, num_layers=1, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=24,
+        vocab_size=64, use_pallas_attention=False,
+        compute_dtype="float32", drop_rate=0.0, max_steps=1,
+        warmup_steps=0, batch_size=4, num_workers=2, max_image_len=-1,
+        text_view=True, num_negative=16,
+        log_dir=str(tmp_path / "outtv"))
+    tr = Trainer(cfg_tv, workdir=cfg_tv.log_dir, vocab_path=vocab,
+                 use_mesh=False)
+    tr.setup()
+    assert tr._text_bucket is False
