@@ -19,7 +19,9 @@ from __future__ import annotations
 
 import io
 import os
-import random
+
+
+from rmcl_tpu.data.rng import srandom
 from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -129,7 +131,7 @@ class ArrowDataset:
         }
 
     def get_false_image(self, rep: int, image_key: str = "image"):
-        idx = random.randint(0, len(self.index_mapper) - 1)
+        idx = srandom.randint(0, len(self.index_mapper) - 1)
         image = self.get_raw_image(idx, image_key=image_key)
         return {f"false_image_{rep}": [tr(image) for tr in self.transforms]}
 
@@ -150,7 +152,7 @@ class ArrowDataset:
         }
 
     def get_false_text(self, rep: int):
-        idx = random.randint(0, len(self.index_mapper) - 1)
+        idx = srandom.randint(0, len(self.index_mapper) - 1)
         row, cap = self.index_mapper[idx]
         text = self.all_texts[row][cap]
         return {f"false_text_{rep}": (text, self._encode(text))}
@@ -174,7 +176,7 @@ class ArrowDataset:
             except Exception as e:  # retry with a random index (ref :146-165)
                 print(f"Error while read file idx {index} in "
                       f"{self.names[0] if self.names else '?'} -> {e}")
-                index = random.randint(0, len(self.index_mapper) - 1)
+                index = srandom.randint(0, len(self.index_mapper) - 1)
         return ret
 
     def __getitem__(self, index: int) -> Dict[str, Any]:

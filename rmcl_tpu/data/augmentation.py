@@ -21,7 +21,9 @@ identity (no-op replacement).
 
 from __future__ import annotations
 
-import random
+
+
+from rmcl_tpu.data.rng import srandom
 import re
 from typing import Callable, List, Optional, Sequence
 
@@ -94,12 +96,12 @@ def synonym_replacement(words: List[str], n: int, syn) -> List[str]:
     """Replace up to n non-stopwords with synonyms (reference eda.py:62-88)."""
     new_words = list(words)
     candidates = list(set(w for w in words if w not in STOP_WORDS))
-    random.shuffle(candidates)
+    srandom.shuffle(candidates)
     replaced = 0
     for w in candidates:
         synonyms = syn(w)
         if synonyms:
-            pick = random.choice(synonyms)
+            pick = srandom.choice(synonyms)
             new_words = [pick if x == w else x for x in new_words]
             replaced += 1
         if replaced >= n:
@@ -112,11 +114,11 @@ def random_insertion(words: List[str], n: int, syn) -> List[str]:
     new_words = list(words)
     for _ in range(n):
         for _ in range(10):
-            w = random.choice(new_words) if new_words else ""
+            w = srandom.choice(new_words) if new_words else ""
             synonyms = syn(w)
             if synonyms:
-                new_words.insert(random.randint(0, len(new_words)),
-                                 random.choice(synonyms))
+                new_words.insert(srandom.randint(0, len(new_words)),
+                                 srandom.choice(synonyms))
                 break
     return new_words
 
@@ -127,10 +129,10 @@ def random_swap(words: List[str], n: int) -> List[str]:
     for _ in range(n):
         if len(new_words) < 2:
             break
-        i1 = random.randint(0, len(new_words) - 1)
+        i1 = srandom.randint(0, len(new_words) - 1)
         i2 = i1
         for _ in range(3):
-            i2 = random.randint(0, len(new_words) - 1)
+            i2 = srandom.randint(0, len(new_words) - 1)
             if i2 != i1:
                 break
         new_words[i1], new_words[i2] = new_words[i2], new_words[i1]
@@ -141,8 +143,8 @@ def random_deletion(words: List[str], p: float) -> List[str]:
     """Delete each word with prob p; never return empty (eda.py:157-174)."""
     if len(words) == 1:
         return list(words)
-    kept = [w for w in words if random.uniform(0, 1) > p]
-    return kept if kept else [random.choice(words)]
+    kept = [w for w in words if srandom.uniform(0, 1) > p]
+    return kept if kept else [srandom.choice(words)]
 
 
 def eda(sentence: str, alpha_sr=0.1, alpha_ri=0.1, alpha_rs=0.1, p_rd=0.1,
@@ -167,7 +169,7 @@ def eda(sentence: str, alpha_sr=0.1, alpha_ri=0.1, alpha_rs=0.1, p_rd=0.1,
     for _ in range(per):
         out.append(" ".join(random_deletion(words, p_rd) + ["."]))
     out = [get_only_chars(s) for s in out]
-    random.shuffle(out)
+    srandom.shuffle(out)
     if num_aug >= 1:
         out = out[:num_aug]
     if original:
@@ -259,13 +261,13 @@ def _random_resized_crop(img: Image.Image, out_size: int = 224,
     w, h = img.size
     area = w * h
     for _ in range(10):
-        target = random.uniform(*scale) * area
-        ar = np.exp(random.uniform(np.log(ratio[0]), np.log(ratio[1])))
+        target = srandom.uniform(*scale) * area
+        ar = np.exp(srandom.uniform(np.log(ratio[0]), np.log(ratio[1])))
         cw = int(round(np.sqrt(target * ar)))
         ch = int(round(np.sqrt(target / ar)))
         if 0 < cw <= w and 0 < ch <= h:
-            x = random.randint(0, w - cw)
-            y = random.randint(0, h - ch)
+            x = srandom.randint(0, w - cw)
+            y = srandom.randint(0, h - ch)
             return img.resize((out_size, out_size), Image.BICUBIC,
                               box=(x, y, x + cw, y + ch))
     return img.resize((out_size, out_size), Image.BICUBIC)
@@ -275,14 +277,14 @@ def _color_jitter(img, brightness=0.4, contrast=0.4, saturation=0.2,
                   hue=0.1):
     ops = [
         lambda im: ImageEnhance.Brightness(im).enhance(
-            random.uniform(1 - brightness, 1 + brightness)),
+            srandom.uniform(1 - brightness, 1 + brightness)),
         lambda im: ImageEnhance.Contrast(im).enhance(
-            random.uniform(1 - contrast, 1 + contrast)),
+            srandom.uniform(1 - contrast, 1 + contrast)),
         lambda im: ImageEnhance.Color(im).enhance(
-            random.uniform(1 - saturation, 1 + saturation)),
-        lambda im: _hue_shift(im, random.uniform(-hue, hue)),
+            srandom.uniform(1 - saturation, 1 + saturation)),
+        lambda im: _hue_shift(im, srandom.uniform(-hue, hue)),
     ]
-    random.shuffle(ops)
+    srandom.shuffle(ops)
     for op in ops:
         img = op(img)
     return img
@@ -307,15 +309,15 @@ class SimCLRTransform:
 
     def __call__(self, img: Image.Image) -> np.ndarray:
         img = _random_resized_crop(img, 224)
-        if random.random() < 0.5:
+        if srandom.random() < 0.5:
             img = ImageOps.mirror(img)
-        if random.random() < 0.8:
+        if srandom.random() < 0.8:
             img = _color_jitter(img)
-        if random.random() < 0.2:
+        if srandom.random() < 0.2:
             img = img.convert("L").convert("RGB")
         img = img.filter(ImageFilter.GaussianBlur(
-            radius=random.uniform(0.1, 2.0)))            # p=1.0
-        if random.random() < 0.2:
+            radius=srandom.uniform(0.1, 2.0)))            # p=1.0
+        if srandom.random() < 0.2:
             img = ImageOps.solarize(img)
         img = min_max_resize(img, shorter=self.size, longer=self.longer)
         return to_normalized_array(img)

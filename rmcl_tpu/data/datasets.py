@@ -7,7 +7,9 @@ reference vilt/datamodules/__init__.py:17-25 (`_datamodules`).
 
 from __future__ import annotations
 
-import random
+
+
+from rmcl_tpu.data.rng import srandom
 import sys
 from typing import Any, Dict
 
@@ -140,7 +142,7 @@ class NLVR2Dataset(ArrowDataset):
                 result = True
             except Exception:
                 print(f"error while read file idx {index}", file=sys.stderr)
-                index = random.randint(0, len(self.index_mapper) - 1)
+                index = srandom.randint(0, len(self.index_mapper) - 1)
         row, qi = self.index_mapper[index]
         answers = self.table["answers"][row][qi].as_py() == "True"
         return {

@@ -18,6 +18,8 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
+from rmcl_tpu.data.rng import sample_rng
+
 # fork-inherited worker state for the process-pool mode: set by the
 # parent immediately before Pool creation; children receive it through
 # the fork snapshot, so the dataset (pyarrow mmaps, tokenizer) is never
@@ -40,7 +42,13 @@ def _proc_make_batch(args):
     if reseed is not None:
         reseed(seed)
     ds = _FORK_STATE["dataset"]
-    samples = [ds[int(i)] for i in bidx]
+    base_seed, epoch = _FORK_STATE["sample_seed"]
+    samples = []
+    for i in bidx:
+        # same per-sample streams as the thread path (data/rng.py), so
+        # thread and process loaders produce identical samples
+        with sample_rng(base_seed, epoch, int(i)):
+            samples.append(ds[int(i)])
     batch = _FORK_STATE["collate"](samples)
     batch["_valid"] = valid
     return batch
@@ -158,8 +166,16 @@ class DataLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def get_one(i):
+            # deterministic per-sample draw stream (false draws, retry,
+            # randaug) keyed by (seed, epoch, dataset index): identical
+            # runs see identical samples under any worker count, and
+            # mid-epoch resume replays the exact stream (data/rng.py)
+            with sample_rng(self.seed, self.epoch, int(i)):
+                return self.dataset[int(i)]
+
         def make_batch(bidx, valid):
-            samples = list(pool.map(self.dataset.__getitem__, bidx))
+            samples = list(pool.map(get_one, bidx))
             batch = self.collate_fn(samples)
             # host-only metadata (underscore keys stay off-device)
             batch["_valid"] = valid
@@ -207,6 +223,7 @@ class DataLoader:
         _FORK_STATE["dataset"] = self.dataset
         _FORK_STATE["collate"] = self.collate_fn
         _FORK_STATE["reseed"] = self.worker_reseed
+        _FORK_STATE["sample_seed"] = (self.seed, self.epoch)
         pool = ctx.Pool(self.num_worker_procs)
 
         def tasks():

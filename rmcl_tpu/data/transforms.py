@@ -20,7 +20,9 @@ smaller buckets trade a small resize divergence for fewer padded patches
 
 from __future__ import annotations
 
-import random
+
+
+from rmcl_tpu.data.rng import srandom
 from typing import Callable, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -89,7 +91,7 @@ def _equalize(img, _):
 
 
 def _rotate(img, v):
-    if random.random() > 0.5:
+    if srandom.random() > 0.5:
         v = -v
     return img.rotate(v)
 
@@ -125,25 +127,25 @@ def _sharpness(img, v):
 
 
 def _shear_x(img, v):
-    if random.random() > 0.5:
+    if srandom.random() > 0.5:
         v = -v
     return img.transform(img.size, Image.AFFINE, (1, v, 0, 0, 1, 0))
 
 
 def _shear_y(img, v):
-    if random.random() > 0.5:
+    if srandom.random() > 0.5:
         v = -v
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, v, 1, 0))
 
 
 def _translate_x_abs(img, v):
-    if random.random() > 0.5:
+    if srandom.random() > 0.5:
         v = -v
     return img.transform(img.size, Image.AFFINE, (1, 0, v, 0, 1, 0))
 
 
 def _translate_y_abs(img, v):
-    if random.random() > 0.5:
+    if srandom.random() > 0.5:
         v = -v
     return img.transform(img.size, Image.AFFINE, (1, 0, 0, 0, 1, v))
 
@@ -174,7 +176,7 @@ class RandAugment:
         self.n, self.m = n, m
 
     def __call__(self, img: Image.Image) -> Image.Image:
-        for op, lo, hi in random.choices(RANDAUG_OPS, k=self.n):
+        for op, lo, hi in srandom.choices(RANDAUG_OPS, k=self.n):
             v = (self.m / 30.0) * (hi - lo) + lo
             img = op(img, v)
         return img

@@ -636,3 +636,54 @@ def test_loader_process_workers(arrow_dir, tok):
     assert any(
         not np.array_equal(a["text_ids"], b["text_ids"])
         for a, b in zip(proc1_b, run(1, epoch=1)))
+
+
+def test_loader_per_sample_rng_determinism(arrow_dir, tok):
+    """Per-sample draw streams (data/rng.py): false-image draws are a
+    pure function of (seed, epoch, dataset index) — identical runs
+    produce identical batches under ANY worker count, thread or
+    process pool, unlike the reference's shared global `random`
+    stream (nondeterministic across torch workers)."""
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok,
+        draw_false_image=1)
+    def run(workers, procs=0, epoch=0):
+        # fresh collator per run: its mask stream is sequential and
+        # would otherwise carry across runs
+        coll = MLMCollator(tok, seed=0)
+
+        def cfn(samples):
+            return collate(samples, coll, bucket_hw=(64, 64))
+
+        l = DataLoader(ds, 2, cfn, shuffle=True, seed=1,
+                       num_workers=workers, num_worker_procs=procs,
+                       worker_reseed=coll.reseed if procs else None)
+        l.set_epoch(epoch)
+        return list(l)
+
+    a = run(4)
+    b = run(4)
+    c = run(1)
+    for ba, bb, bc in zip(a, b, c):
+        for k in ba:
+            if k.startswith("_"):
+                continue
+            np.testing.assert_array_equal(
+                np.asarray(ba[k]), np.asarray(bb[k]), err_msg=k)
+            if k == "false_image_0" or k == "image":
+                np.testing.assert_array_equal(
+                    np.asarray(ba[k]), np.asarray(bc[k]), err_msg=k)
+    import os as _os
+    if hasattr(_os, "fork"):
+        d = run(2, procs=2)
+        for ba, bd in zip(a, d):
+            np.testing.assert_array_equal(
+                np.asarray(ba["false_image_0"]),
+                np.asarray(bd["false_image_0"]))
+    # a new epoch draws differently
+    e = run(4, epoch=1)
+    assert any(
+        not np.array_equal(x["false_image_0"], y["false_image_0"])
+        for x, y in zip(a, e))
