@@ -153,7 +153,12 @@ class RMCLConfig:
     # work (~0.32 -> ~3.1 effective workers, scripts/measure_loader.py
     # --gil probe); fork-based worker processes sidestep the GIL like
     # the reference's torch DataLoader workers and scale with vCPUs
-    # (data/loader.py).  Requires os.fork (POSIX).
+    # (data/loader.py).  Requires os.fork (POSIX).  Workers fork from
+    # a process that may already hold a live TPU client; that is safe
+    # only because they do pure numpy/PIL/pyarrow work and never touch
+    # the device runtime — if a deployment ever sees wedged workers,
+    # construct loaders before first jax use (torch has the same
+    # fork-after-CUDA constraint).
     num_worker_procs: int = 0
     precision: int = 16  # kept for parity; on TPU this selects bf16 compute
 
