@@ -56,6 +56,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rmcl_tpu.core.buckets import text_bucket
 from rmcl_tpu.attacks.greedy import GreedyAttack, check_word
 from rmcl_tpu.models.layers import embedding
 
@@ -205,7 +206,28 @@ class FusedGreedyAttack:
                 break
             k = k2
         bound = total0 + k * growth + 2
-        return min(T, max(-(-bound // 8) * 8, 8))
+        bucket = text_bucket(bound, T)
+        if bucket != T:
+            # S_pad neutrality, applied HOST-side: on the fused-kernel
+            # path S is padded to _S_ALIGN, so the bucket only pays when
+            # it lowers the PADDED S.  The traced body repeats this
+            # check, but collapsing here keeps gw_tbucket's SHAPE at T —
+            # otherwise every /8 caption-length bucket would retrace the
+            # whole one-program attack+train executable for a program
+            # that is bit-identical anyway (recipe shapes: S_pad=256 for
+            # any Ts<=55).
+            spec = getattr(self.base.model, "spec", None)
+            if spec is not None and (
+                    spec.attn_impl == "fused"
+                    or spec.mlp_impl in ("fused", "fused_train")):
+                from rmcl_tpu.ops.pallas_block import _S_ALIGN, _round_up
+                cfgb = self.base.cfg
+                img = (cfgb.max_image_len if cfgb.max_image_len > 0
+                       else cfgb.grid_hw[0] * cfgb.grid_hw[1])
+                if (_round_up(1 + img + bucket, _S_ALIGN)
+                        == _round_up(1 + img + T, _S_ALIGN)):
+                    bucket = T
+        return bucket
 
     # ----------------------------------------------------------- device
     def build_attack_body(self):

@@ -222,9 +222,12 @@ class RMCLConfig:
     # whose loss is batch-coupled); token-id parity with the host
     # orchestrator is asserted in tests/test_attacks.py.  0 disables.
     # Default 0.5 (round 4): with the dead-final-loop skip the finer
-    # cascade (b16: 8 -> 4 -> 2) catches the half-live phase the old
-    # 0.25 cascade (4 -> 1) missed — worst-mix 438 -> 388 ms measured,
-    # realistic unchanged.
+    # cascade catches the half-live phase the old 0.25 cascade (4 -> 1)
+    # missed — worst-mix 438 -> 388 ms measured, realistic unchanged.
+    # The cascade is capped at TWO stages (b16: 8 -> 4; see
+    # attacks/greedy_fused.py): a third stage added nothing measurable
+    # and its extra compiled scoring/grad programs tipped the
+    # smoke-test TPU worker into an executable-memory OOM.
     greedy_compact_frac: float = 0.5
     # cap on the candidate-scoring forward's row count (B*n_candidates).
     # When a batch exceeds it, the candidate axis is scored in

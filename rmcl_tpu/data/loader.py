@@ -10,6 +10,7 @@ batches come out as plain numpy dicts ready for ``jax.device_put``.
 
 from __future__ import annotations
 
+import itertools
 import os
 import queue
 import threading
@@ -23,12 +24,17 @@ from rmcl_tpu.data.rng import sample_rng
 # fork-inherited worker state for the process-pool mode: set by the
 # parent immediately before Pool creation; children receive it through
 # the fork snapshot, so the dataset (pyarrow mmaps, tokenizer) is never
-# pickled.  Read-only in workers.
-_FORK_STATE: Dict[str, Any] = {}
+# pickled.  Read-only in workers.  Keyed by a per-pool token so two
+# live loaders (train + val) never clobber each other's entry — a pool
+# respawning a dead worker re-forks from the CURRENT parent state, and
+# with a shared flat dict the respawned child would inherit the other
+# loader's (or an empty) state.
+_FORK_STATE: Dict[int, Dict[str, Any]] = {}
+_FORK_TOKEN = itertools.count(1)
 
 
 def _proc_make_batch(args):
-    bidx, valid, seed = args
+    token, bidx, valid, seed = args
     # Per-BATCH deterministic reseeding: all forked children share one
     # RNG snapshot, so without this every worker would replay the same
     # mask/false-draw stream (correlated batches).  Seeding by (loader
@@ -38,18 +44,19 @@ def _proc_make_batch(args):
     import random as _random
     _random.seed(seed)
     np.random.seed(seed % (2 ** 32))
-    reseed = _FORK_STATE.get("reseed")
+    state = _FORK_STATE[token]
+    reseed = state.get("reseed")
     if reseed is not None:
         reseed(seed)
-    ds = _FORK_STATE["dataset"]
-    base_seed, epoch = _FORK_STATE["sample_seed"]
+    ds = state["dataset"]
+    base_seed, epoch = state["sample_seed"]
     samples = []
     for i in bidx:
         # same per-sample streams as the thread path (data/rng.py), so
         # thread and process loaders produce identical samples
         with sample_rng(base_seed, epoch, int(i)):
             samples.append(ds[int(i)])
-    batch = _FORK_STATE["collate"](samples)
+    batch = state["collate"](samples)
     batch["_valid"] = valid
     return batch
 
@@ -129,7 +136,7 @@ class DataLoader:
             # per host == n // (pc*bs) exactly (at most pc-1 samples
             # dropped per epoch, reshuffled back in the next epoch)
             idx = idx[: n // self.process_count]
-        elif n_real:
+        else:
             # pad by wrap-around up to the common ceil(n/pc), then to a
             # batch multiple, so every batch is full-size/static — the
             # same repetition DistributedSampler applies to make the
@@ -138,7 +145,13 @@ class DataLoader:
             # sample is still counted exactly once globally
             common = -(-n // self.process_count)
             total = -(-common // self.batch_size) * self.batch_size
-            if total > n_real:
+            if n_real == 0:
+                # this host's strided shard is empty (n < process_count):
+                # feed row 0 as a fully-masked placeholder so the host
+                # still iterates the same `total // batch_size` batches
+                # as everyone else (hosts run collectives in lockstep)
+                idx = np.zeros(total, dtype=np.int64)
+            elif total > n_real:
                 reps = -(-total // n_real)
                 idx = np.concatenate([idx] * reps)[:total]
         return idx, n_real
@@ -214,21 +227,23 @@ class DataLoader:
         dict comes back per task.  `imap` keeps epoch order
         deterministic and `maxtasksperchild=None` keeps children warm.
         """
-        import itertools
         from collections import deque
 
         import multiprocessing as mp
 
         ctx = mp.get_context("fork")
-        _FORK_STATE["dataset"] = self.dataset
-        _FORK_STATE["collate"] = self.collate_fn
-        _FORK_STATE["reseed"] = self.worker_reseed
-        _FORK_STATE["sample_seed"] = (self.seed, self.epoch)
+        token = next(_FORK_TOKEN)
+        _FORK_STATE[token] = {
+            "dataset": self.dataset,
+            "collate": self.collate_fn,
+            "reseed": self.worker_reseed,
+            "sample_seed": (self.seed, self.epoch),
+        }
         pool = ctx.Pool(self.num_worker_procs)
 
         def tasks():
             for k, (bidx, valid) in enumerate(self._batches()):
-                yield (bidx, valid,
+                yield (token, bidx, valid,
                        (self.seed * 1_000_003 + self.epoch * 10_007
                         + self.skip_batches + k))
 
@@ -249,4 +264,4 @@ class DataLoader:
         finally:
             pool.terminate()
             pool.join()
-            _FORK_STATE.clear()
+            _FORK_STATE.pop(token, None)

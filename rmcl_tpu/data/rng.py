@@ -46,7 +46,13 @@ srandom = _Proxy()
 
 
 def sample_seed(seed: int, epoch: int, index: int) -> int:
-    return (seed * 1_000_003 + epoch) * 1_000_003 + index
+    # the index multiplier must exceed any dataset length or (epoch,
+    # index) pairs alias — (e, i + M) replays (e + 1, i)'s exact
+    # stream, correlating augmentations across epochs (the combined
+    # GCC+SBU+COCO+VG pretraining corpus is ~5M captions).  2**42
+    # clears any realistic corpus; Python ints are unbounded and
+    # Random() hashes the full value.
+    return (seed * 1_000_003 + epoch) * 2 ** 42 + index
 
 
 @contextlib.contextmanager

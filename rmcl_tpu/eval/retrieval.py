@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rmcl_tpu.core.buckets import text_bucket
 from rmcl_tpu.models.heads import rank_output
 from rmcl_tpu.models.vit import visual_embed
 
@@ -131,8 +132,8 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     # FLOPs).  Same numeric class as padded-batch composition
     # (reference EVAL.md:2); disable with cfg.greedy_text_bucket=False.
     if getattr(cfg, "greedy_text_bucket", True) and n_txt_total:
-        tb = int(text_masks.sum(axis=1).max())
-        tb = min(cfg.max_text_len, max(-(-tb // 8) * 8, 8))
+        tb = text_bucket(int(text_masks.sum(axis=1).max()),
+                         cfg.max_text_len)
         text_ids = text_ids[:, :tb]
         text_masks = text_masks[:, :tb]
 

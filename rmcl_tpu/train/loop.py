@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rmcl_tpu.core.buckets import text_bucket
 from rmcl_tpu.core.config import RMCLConfig, active_tasks
 from rmcl_tpu.data.datamodule import MultitaskDataModule
 from rmcl_tpu.eval.metrics import MetricBag, Scalar
@@ -122,7 +123,7 @@ def bucket_text_batch(batch: Dict[str, Any],
         return batch
     tb = max(int(np.asarray(batch[k]).sum(axis=1).max())
              for k in mask_keys)
-    tb = min(max_text_len, max(-(-tb // 8) * 8, 8))
+    tb = text_bucket(tb, max_text_len)
     if tb == max_text_len:
         return batch
     out = dict(batch)

@@ -627,3 +627,35 @@ def test_fused_greedy_text_bucket_exact(moco_setup, tiny_tok,
         np.testing.assert_array_equal(o["text_masks"], out_h["text_masks"])
         assert o["changes_verification"] == out_h["changes_verification"]
     assert outs[True]["num_changes"] > 0
+
+
+def test_text_bucket_collapses_host_side_when_pad_neutral(
+        moco_setup, tiny_tok, tiny_synonyms):
+    """On the fused-kernel path the text bucket must collapse to
+    max_text_len HOST-side (gw_tbucket SHAPE == T) whenever it cannot
+    lower the _S_ALIGN-padded S: a varying host shape would retrace the
+    whole one-program attack+train executable once per /8 caption
+    bucket for a bit-identical program (ROADMAP round 4)."""
+    from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
+
+    sentences = ["dog runs in park", "cat sits in street"]
+
+    def tbucket_width(max_text_len, max_image_len):
+        cfg = moco_setup.replace(vocab_size=tiny_tok.vocab_size,
+                                 max_text_len=max_text_len,
+                                 max_image_len=max_image_len,
+                                 attention_impl="fused")
+        model = ViLTModel(cfg)
+        assert model.spec.attn_impl == "fused"
+        att = FusedGreedyAttack(
+            GreedyAttackMoco(cfg, model, tiny_tok, tiny_synonyms))
+        ids, _ = tiny_tok.batch_encode(sentences, cfg.max_text_len)
+        return att.prep_tables(ids.astype(np.int32))["gw_tbucket"].shape[1]
+
+    # 1+200+24 and 1+200+Ts both pad to 256: bucket is S_pad-neutral,
+    # must collapse to T on the host so the program shape is stable
+    assert tbucket_width(24, 200) == 24
+    # 1+200+64 pads to 384 but short captions bucket back under 256:
+    # the bucket pays a whole 128-row tile and must stay engaged
+    w = tbucket_width(64, 200)
+    assert w < 64 and w % 8 == 0

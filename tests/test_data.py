@@ -687,3 +687,57 @@ def test_loader_per_sample_rng_determinism(arrow_dir, tok):
     assert any(
         not np.array_equal(x["false_image_0"], y["false_image_0"])
         for x, y in zip(a, e))
+
+
+def test_loader_empty_shard_equalized(arrow_dir, tok):
+    """Hosts whose strided shard is empty (dataset smaller than
+    process_count) must still iterate the SAME number of batches as
+    every other host — hosts run collectives in lockstep and the
+    trainer assumes steps_per_epoch == len(loader) on every host —
+    with every placeholder row masked invalid so the global sample
+    count is unchanged."""
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok)
+    coll = MLMCollator(tok, seed=0)
+
+    def cfn(samples):
+        return collate(samples, coll, bucket_hw=(64, 64))
+
+    n = len(ds)
+    pc = n + 5                      # some hosts get an empty shard
+    loaders = [DataLoader(ds, 2, cfn, shuffle=False, seed=1,
+                          process_index=i, process_count=pc,
+                          drop_last=False)
+               for i in range(pc)]
+    assert len({len(l) for l in loaders}) == 1
+    total_valid = 0
+    for i, l in enumerate(loaders):
+        batches = list(l._batches())
+        assert len(batches) == len(l) > 0
+        v = sum(int(valid.sum()) for _, valid in batches)
+        assert v == (1 if i < n else 0)
+        total_valid += v
+        for idx, _ in batches:      # placeholder indices must be decodable
+            assert (0 <= idx).all() and (idx < n).all()
+    assert total_valid == n         # each sample counted exactly once
+    # drop_last mode: everyone uniformly empty when n < pc*bs
+    dl = [DataLoader(ds, 2, cfn, shuffle=False, seed=1, process_index=i,
+                     process_count=pc, drop_last=True) for i in range(pc)]
+    assert {len(l) for l in dl} == {0}
+
+
+def test_sample_seed_no_epoch_aliasing():
+    """sample_seed's index term must exceed any dataset length:
+    (epoch, index) and (epoch+1, index-M) collided under the old
+    M=1_000_003 multiplier, replaying an adjacent-epoch neighbour's
+    exact augmentation stream on >1M-sample corpora."""
+    from rmcl_tpu.data.rng import sample_seed
+    seen = {}
+    for e in range(3):
+        for i in [0, 1, 1_000_003, 2_000_006, 10_000_000, 2 ** 32]:
+            s = sample_seed(7, e, i)
+            assert s not in seen, (e, i, seen[s])
+            seen[s] = (e, i)
+    assert sample_seed(7, 1, 0) != sample_seed(7, 0, 1_000_003)
