@@ -208,24 +208,27 @@ class FusedGreedyAttack:
         bound = total0 + k * growth + 2
         bucket = text_bucket(bound, T)
         if bucket != T:
-            # S_pad neutrality, applied HOST-side: on the fused-kernel
+            # S_pad neutrality, applied HOST-side (the only place — the
+            # traced body trusts gw_tbucket's shape): on the fused-kernel
             # path S is padded to _S_ALIGN, so the bucket only pays when
-            # it lowers the PADDED S.  The traced body repeats this
-            # check, but collapsing here keeps gw_tbucket's SHAPE at T —
-            # otherwise every /8 caption-length bucket would retrace the
-            # whole one-program attack+train executable for a program
-            # that is bit-identical anyway (recipe shapes: S_pad=256 for
-            # any Ts<=55).
+            # it lowers the PADDED S.  Collapsing here keeps gw_tbucket's
+            # SHAPE at T — otherwise every /8 caption-length bucket would
+            # retrace the whole one-program attack+train executable for a
+            # program that is bit-identical anyway (recipe shapes:
+            # S_pad=256 for any Ts<=55).
             spec = getattr(self.base.model, "spec", None)
             if spec is not None and (
                     spec.attn_impl == "fused"
                     or spec.mlp_impl in ("fused", "fused_train")):
                 from rmcl_tpu.ops.pallas_block import _S_ALIGN, _round_up
-                cfgb = self.base.cfg
-                img = (cfgb.max_image_len if cfgb.max_image_len > 0
-                       else cfgb.grid_hw[0] * cfgb.grid_hw[1])
-                if (_round_up(1 + img + bucket, _S_ALIGN)
-                        == _round_up(1 + img + T, _S_ALIGN)):
+                # image tokens incl. CLS as the model actually runs them:
+                # min(num_patches, max_image_len) + 1 — using the raw
+                # max_image_len here mis-sizes S whenever the patch grid
+                # is smaller (e.g. 224-size ViT presets, 77 patches, with
+                # the finetune configs' max_image_len=200)
+                img_seq = self.base.cfg.image_seq_len
+                if (_round_up(img_seq + bucket, _S_ALIGN)
+                        == _round_up(img_seq + T, _S_ALIGN)):
                     bucket = T
         return bucket
 
@@ -266,29 +269,11 @@ class FusedGreedyAttack:
             M = word_tok.shape[-1]
             # static text bucket for the attack-internal forwards
             # (_text_bucket): EXACT by construction — no sequence can
-            # outgrow it before it equals T
+            # outgrow it before it equals T.  S_pad neutrality was
+            # already decided host-side when the tbucket table was built
+            # (every caller reaches here via _prep/_text_bucket), so the
+            # shape is authoritative.
             Ts = min(T, tbucket.shape[1]) if tbucket is not None else T
-            if Ts != T:
-                # on the fused-kernel path S is padded to _S_ALIGN
-                # (models/vit.py transformer_apply hoist): the bucket
-                # only pays if it lowers the PADDED S — e.g. full-grid
-                # S=257 drops 384->256, but the recipe's
-                # max_image_len=200 keeps S_pad=256 for any Ts<=55, and
-                # the measured A/B at that shape was a wash-to-
-                # regression (ROADMAP round 4).  Keep Ts=T there so the
-                # program stays bit-identical to the unbucketed one.
-                spec = getattr(base.model, "spec", None)
-                if spec is not None and (
-                        spec.attn_impl == "fused"
-                        or spec.mlp_impl in ("fused", "fused_train")):
-                    from rmcl_tpu.ops.pallas_block import (
-                        _S_ALIGN, _round_up)
-                    cfgb = base.cfg
-                    img = (cfgb.max_image_len if cfgb.max_image_len > 0
-                           else cfgb.grid_hw[0] * cfgb.grid_hw[1])
-                    if (_round_up(1 + img + Ts, _S_ALIGN)
-                            == _round_up(1 + img + T, _S_ALIGN)):
-                        Ts = T
             if Ts != T:
                 dev_batch = {
                     k: (v[:, :Ts]

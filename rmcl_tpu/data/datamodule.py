@@ -125,6 +125,10 @@ class MultitaskDataModule:
     # ---------------------------------------------------------- loaders
     def _loader(self, split: str, batch_size: int, shuffle: bool,
                 drop_last: bool) -> DataLoader:
+        # role salts the per-batch collate RNG so train/val/test loaders
+        # sharing cfg.seed never replay each other's MLM mask streams
+        # (data/rng.py batch_seed); the MLM collator picks the scoped
+        # streams up via data/rng.py get_batch_streams
         return DataLoader(
             self.datasets[split]["concat"], batch_size=batch_size,
             collate_fn=self.collate, shuffle=shuffle, seed=self.cfg.seed,
@@ -132,15 +136,7 @@ class MultitaskDataModule:
             process_index=self.process_index,
             process_count=self.process_count,
             num_worker_procs=getattr(self.cfg, "num_worker_procs", 0),
-            worker_reseed=self._worker_reseed)
-
-    def _worker_reseed(self, seed: int) -> None:
-        """Per-batch RNG reseed inside loader worker processes (the
-        collator's streams live on this datamodule; the global
-        random/np.random modules are reseeded by the loader itself)."""
-        c = getattr(self, "mlm_collator", None)
-        if c is not None and hasattr(c, "reseed"):
-            c.reseed(seed)
+            role=("train", "val", "test").index(split))
 
     def train_loader(self, per_host_batch: int) -> DataLoader:
         return self._loader("train", per_host_batch, True, True)

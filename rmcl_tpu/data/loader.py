@@ -19,7 +19,7 @@ from typing import Any, Callable, Dict, Iterator, List, Optional, Sequence
 
 import numpy as np
 
-from rmcl_tpu.data.rng import sample_rng
+from rmcl_tpu.data.rng import batch_rng, batch_seed, sample_rng
 
 # fork-inherited worker state for the process-pool mode: set by the
 # parent immediately before Pool creation; children receive it through
@@ -38,16 +38,14 @@ def _proc_make_batch(args):
     # Per-BATCH deterministic reseeding: all forked children share one
     # RNG snapshot, so without this every worker would replay the same
     # mask/false-draw stream (correlated batches).  Seeding by (loader
-    # seed, epoch, batch index) also makes the stream invariant to the
-    # worker count — stronger than torch DataLoader's per-worker
+    # seed, epoch, batch index, role — data/rng.py batch_seed) makes
+    # the stream invariant to the worker count AND identical to the
+    # thread loader's — stronger than torch DataLoader's per-worker
     # base_seed+worker_id, which changes data when num_workers changes.
     import random as _random
     _random.seed(seed)
     np.random.seed(seed % (2 ** 32))
     state = _FORK_STATE[token]
-    reseed = state.get("reseed")
-    if reseed is not None:
-        reseed(seed)
     ds = state["dataset"]
     base_seed, epoch = state["sample_seed"]
     samples = []
@@ -56,7 +54,10 @@ def _proc_make_batch(args):
         # thread and process loaders produce identical samples
         with sample_rng(base_seed, epoch, int(i)):
             samples.append(ds[int(i)])
-    batch = state["collate"](samples)
+    # collate-time RNG (MLM masks) scoped to the same batch seed the
+    # thread path uses — thread/process mask parity by construction
+    with batch_rng(seed):
+        batch = state["collate"](samples)
     batch["_valid"] = valid
     return batch
 
@@ -93,7 +94,7 @@ class DataLoader:
                  shuffle: bool = True, seed: int = 0, drop_last: bool = True,
                  num_workers: int = 4, prefetch: int = 2,
                  process_index: int = 0, process_count: int = 1,
-                 num_worker_procs: int = 0, worker_reseed=None):
+                 num_worker_procs: int = 0, role: int = 0):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate_fn = collate_fn
@@ -105,7 +106,10 @@ class DataLoader:
         self.process_index = process_index
         self.process_count = process_count
         self.num_worker_procs = num_worker_procs if hasattr(os, "fork") else 0
-        self.worker_reseed = worker_reseed
+        # role salts the per-batch collate RNG (data/rng.py batch_seed)
+        # so concurrently-live loaders sharing one config seed (train /
+        # val / test) never replay each other's mask streams
+        self.role = role
         self.epoch = 0
         self.skip_batches = 0
 
@@ -157,19 +161,31 @@ class DataLoader:
         return idx, n_real
 
     def __len__(self) -> int:
-        idx, _ = self._indices()
-        return len(idx) // self.batch_size
+        # closed form — must stay consistent with _indices()'s shard
+        # equalization.  Computing it arithmetically matters: Trainer
+        # setup calls len() on a throwaway loader, and materializing the
+        # O(n) epoch permutation just to count batches permutes a
+        # multi-million-entry array on real corpora.
+        n = len(self.dataset)
+        if self.drop_last:
+            return (n // self.process_count) // self.batch_size
+        common = -(-n // self.process_count)
+        return -(-common // self.batch_size)
 
     def _batches(self) -> Iterator[np.ndarray]:
         idx, n_real = self._indices()
         end = len(idx) // self.batch_size * self.batch_size
+        assert end // self.batch_size == len(self), \
+            "loader __len__ out of sync with _indices"
         start = min(self.skip_batches * self.batch_size, end)
         for s in range(start, end, self.batch_size):
             # validity mask so wrap-around rows are evaluated but never
             # counted (the reference's DistributedSampler evaluates each
-            # sample exactly once per process)
+            # sample exactly once per process).  First element is the
+            # ABSOLUTE batch index in the epoch (stable under
+            # skip_batches fast-forward) — the collate RNG seed.
             valid = np.arange(s, s + self.batch_size) < n_real
-            yield idx[s:s + self.batch_size], valid
+            yield s // self.batch_size, idx[s:s + self.batch_size], valid
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         if self.num_worker_procs > 0:
@@ -187,19 +203,24 @@ class DataLoader:
             with sample_rng(self.seed, self.epoch, int(i)):
                 return self.dataset[int(i)]
 
-        def make_batch(bidx, valid):
+        def make_batch(k, bidx, valid):
             samples = list(pool.map(get_one, bidx))
-            batch = self.collate_fn(samples)
+            # collate-time RNG (MLM masks) scoped per batch position:
+            # pure function of (seed, epoch, batch, role) — mid-epoch
+            # resume replays the exact masks, and the process loader
+            # produces identical batches (it uses the same seed)
+            with batch_rng(batch_seed(self.seed, self.epoch, k, self.role)):
+                batch = self.collate_fn(samples)
             # host-only metadata (underscore keys stay off-device)
             batch["_valid"] = valid
             return batch
 
         def producer():
             try:
-                for bidx, valid in self._batches():
+                for k, bidx, valid in self._batches():
                     if stop.is_set():
                         return
-                    out_q.put(make_batch(bidx, valid))
+                    out_q.put(make_batch(k, bidx, valid))
             finally:
                 out_q.put(None)
 
@@ -224,8 +245,12 @@ class DataLoader:
         workers no matter the vCPU count).  The dataset reaches the
         children through the fork snapshot (pyarrow mmaps are
         fork-safe read-only); only index arrays go out and one batch
-        dict comes back per task.  `imap` keeps epoch order
-        deterministic and `maxtasksperchild=None` keeps children warm.
+        dict comes back per task.  Epoch order is kept by a hand-rolled
+        bounded apply_async window (deque below): results are consumed
+        strictly in submission order, and at most
+        ``num_worker_procs + prefetch`` batches are in flight — Pool's
+        own `imap` would let its feeder thread race the whole epoch
+        ahead of a slow consumer (unbounded decoded-batch memory).
         """
         from collections import deque
 
@@ -236,16 +261,14 @@ class DataLoader:
         _FORK_STATE[token] = {
             "dataset": self.dataset,
             "collate": self.collate_fn,
-            "reseed": self.worker_reseed,
             "sample_seed": (self.seed, self.epoch),
         }
         pool = ctx.Pool(self.num_worker_procs)
 
         def tasks():
-            for k, (bidx, valid) in enumerate(self._batches()):
+            for k, bidx, valid in self._batches():
                 yield (token, bidx, valid,
-                       (self.seed * 1_000_003 + self.epoch * 10_007
-                        + self.skip_batches + k))
+                       batch_seed(self.seed, self.epoch, k, self.role))
 
         try:
             # bounded in-flight window (imap's feeder would decode the

@@ -53,10 +53,22 @@ class MLMCollator:
             if getattr(tokenizer, a, None) is not None}), np.int64)
 
     def reseed(self, seed: int):
-        """Replace the mask RNG streams (per-batch worker-process
-        reseeding, data/loader.py:_proc_make_batch)."""
+        """Replace the persistent mask RNG streams (kept for direct /
+        test callers; loader batches use the scoped per-batch streams
+        below instead)."""
         self.rng = np.random.RandomState(seed % (2 ** 32))
         self.pyrng = pyrandom.Random(seed)
+
+    def _streams(self):
+        """Per-batch scoped streams when collating inside a loader
+        (data/rng.py batch_rng — mask patterns become a pure function
+        of batch position, identical across thread/process loaders and
+        under mid-epoch resume), else this instance's sequential
+        streams (reference-style behavior for ad-hoc callers)."""
+        from rmcl_tpu.data.rng import get_batch_streams
+        st = get_batch_streams(lambda s: (
+            np.random.RandomState(s % (2 ** 32)), pyrandom.Random(s)))
+        return st if st is not None else (self.rng, self.pyrng)
 
     # ------------------------------------------------------------------
     def __call__(self, input_ids: np.ndarray,
@@ -65,24 +77,25 @@ class MLMCollator:
         """(ids (B, T), special (B, T)) -> (mlm_ids, mlm_labels)."""
         ids = np.array(input_ids, np.int32, copy=True)
         special = np.asarray(special_tokens_mask).astype(bool)
+        rng, pyrng = self._streams()
 
         unmaskable = special | np.isin(ids, self.all_special_ids)
         if self.whole_word:
             # HF: specials other than [CLS]/[SEP] (e.g. [UNK]) COMPETE in
             # the selection, then get cleared from the final mask
-            masked = self._whole_word_mask(ids, special) & ~unmaskable
+            masked = self._whole_word_mask(ids, special, pyrng) & ~unmaskable
         else:
             prob = np.full(ids.shape, self.mlm_prob)
             prob[unmaskable] = 0.0
-            masked = self.rng.random_sample(ids.shape) < prob
+            masked = rng.random_sample(ids.shape) < prob
 
         labels = np.where(masked, ids, -100).astype(np.int32)
 
-        replace = masked & (self.rng.random_sample(ids.shape) < 0.8)
+        replace = masked & (rng.random_sample(ids.shape) < 0.8)
         ids[replace] = self.mask_id
         randomize = (masked & ~replace
-                     & (self.rng.random_sample(ids.shape) < 0.5))
-        ids[randomize] = self.rng.randint(
+                     & (rng.random_sample(ids.shape) < 0.5))
+        ids[randomize] = rng.randint(
             0, self.vocab_size, int(randomize.sum()))
         return ids, labels
 
@@ -101,8 +114,8 @@ class MLMCollator:
                 groups.append([pos])
         return groups
 
-    def _whole_word_mask(self, ids: np.ndarray,
-                         special: np.ndarray) -> np.ndarray:
+    def _whole_word_mask(self, ids: np.ndarray, special: np.ndarray,
+                         pyrng: pyrandom.Random) -> np.ndarray:
         """HF `DataCollatorForWholeWordMask._whole_word_mask` semantics,
         one call per batch row (HF shuffles per example in sequence,
         consuming the same RNG stream order)."""
@@ -113,7 +126,7 @@ class MLMCollator:
             # [CLS]/[SEP]; our rows are padded, so count non-pad
             n_tokens = int((ids[b] != self.pad_id).sum())
             budget = min(512, max(1, int(round(n_tokens * self.mlm_prob))))
-            self.pyrng.shuffle(groups)
+            pyrng.shuffle(groups)
             covered = 0
             for g in groups:
                 if covered >= budget:

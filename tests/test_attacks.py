@@ -652,10 +652,18 @@ def test_text_bucket_collapses_host_side_when_pad_neutral(
         ids, _ = tiny_tok.batch_encode(sentences, cfg.max_text_len)
         return att.prep_tables(ids.astype(np.int32))["gw_tbucket"].shape[1]
 
-    # 1+200+24 and 1+200+Ts both pad to 256: bucket is S_pad-neutral,
-    # must collapse to T on the host so the program shape is stable
+    # this grid has 6 patches -> image_seq_len = 7 regardless of
+    # max_image_len=200: 7+24 and 7+Ts both pad to 128, bucket is
+    # S_pad-neutral and must collapse to T for a stable program shape
     assert tbucket_width(24, 200) == 24
-    # 1+200+64 pads to 384 but short captions bucket back under 256:
-    # the bucket pays a whole 128-row tile and must stay engaged
-    w = tbucket_width(64, 200)
-    assert w < 64 and w % 8 == 0
+    # regression (round-4 review): the neutrality check must size S
+    # from the REAL image tokens min(num_patches, max_image_len)+1
+    # (cfg.image_seq_len), not the raw max_image_len — 7+64 also pads
+    # to 128, so the bucket must collapse here too (the unclamped
+    # formula compared 265->384 vs 209->256 and kept it engaged,
+    # retracing the one-program executable once per /8 caption bucket)
+    assert tbucket_width(64, 200) == 64
+    # 7+128 pads to 256 but short captions bucket back under 128: the
+    # bucket drops a whole 128-row tile and must stay engaged
+    w = tbucket_width(128, 200)
+    assert w < 128 and w % 8 == 0

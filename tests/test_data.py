@@ -216,13 +216,14 @@ def test_loader_skip_batches(arrow_dir, tok):
         return collate(samples, coll, bucket_hw=(64, 64))
 
     l = DataLoader(ds, 2, cfn, shuffle=True, seed=1, num_workers=2)
-    full = [(tuple(b), tuple(v)) for b, v in l._batches()]
+    full = [(k, tuple(b), tuple(v)) for k, b, v in l._batches()]
     n = len(l)
     l.set_epoch(0, skip_batches=1)
-    assert [(tuple(b), tuple(v)) for b, v in l._batches()] == full[1:]
+    # the absolute batch index (collate RNG seed) survives the skip
+    assert [(k, tuple(b), tuple(v)) for k, b, v in l._batches()] == full[1:]
     assert len(l) == n
     l.set_epoch(0)  # plain set_epoch resets the skip
-    assert [(tuple(b), tuple(v)) for b, v in l._batches()] == full
+    assert [(k, tuple(b), tuple(v)) for k, b, v in l._batches()] == full
     l.set_epoch(0, skip_batches=10 ** 6)  # over-skip is empty, not error
     assert list(l._batches()) == []
 
@@ -613,8 +614,7 @@ def test_loader_process_workers(arrow_dir, tok):
 
     def run(procs, epoch=0):
         l = DataLoader(ds, 2, cfn, shuffle=True, seed=1, num_workers=2,
-                       num_worker_procs=procs,
-                       worker_reseed=coll.reseed if procs else None)
+                       num_worker_procs=procs)
         l.set_epoch(epoch)
         return list(l)
 
@@ -623,13 +623,13 @@ def test_loader_process_workers(arrow_dir, tok):
     proc2_b = run(2)
     assert len(proc1_b) == len(thread_b) > 0
     for bt, b1, b2 in zip(thread_b, proc1_b, proc2_b):
-        # RNG-free fields match the thread loader exactly
-        for k in ("text_ids", "text_masks", "image"):
-            np.testing.assert_array_equal(b1[k], bt[k])
-        np.testing.assert_array_equal(b1["_valid"], bt["_valid"])
-        # the FULL batch (incl. mlm masking RNG) is invariant to the
-        # worker count — per-batch reseeding, stronger than torch
+        # the FULL batch — including the MLM masking RNG — matches the
+        # thread loader bit-for-bit and is invariant to the worker
+        # count: collate RNG is scoped per batch position (data/rng.py
+        # batch_rng), stronger than torch's per-worker seeding
         for k in b1:
+            np.testing.assert_array_equal(np.asarray(b1[k]),
+                                          np.asarray(bt[k]), err_msg=k)
             np.testing.assert_array_equal(np.asarray(b1[k]),
                                           np.asarray(b2[k]), err_msg=k)
     # different epochs still reshuffle
@@ -658,8 +658,7 @@ def test_loader_per_sample_rng_determinism(arrow_dir, tok):
             return collate(samples, coll, bucket_hw=(64, 64))
 
         l = DataLoader(ds, 2, cfn, shuffle=True, seed=1,
-                       num_workers=workers, num_worker_procs=procs,
-                       worker_reseed=coll.reseed if procs else None)
+                       num_workers=workers, num_worker_procs=procs)
         l.set_epoch(epoch)
         return list(l)
 
@@ -716,10 +715,10 @@ def test_loader_empty_shard_equalized(arrow_dir, tok):
     for i, l in enumerate(loaders):
         batches = list(l._batches())
         assert len(batches) == len(l) > 0
-        v = sum(int(valid.sum()) for _, valid in batches)
+        v = sum(int(valid.sum()) for _, _, valid in batches)
         assert v == (1 if i < n else 0)
         total_valid += v
-        for idx, _ in batches:      # placeholder indices must be decodable
+        for _, idx, _ in batches:   # placeholder indices must be decodable
             assert (0 <= idx).all() and (idx < n).all()
     assert total_valid == n         # each sample counted exactly once
     # drop_last mode: everyone uniformly empty when n < pc*bs
@@ -741,3 +740,58 @@ def test_sample_seed_no_epoch_aliasing():
             assert s not in seen, (e, i, seen[s])
             seen[s] = (e, i)
     assert sample_seed(7, 1, 0) != sample_seed(7, 0, 1_000_003)
+
+
+def test_batch_seed_no_aliasing_and_role_separation():
+    """batch_seed (collate-time MLM mask streams) must be collision-free
+    across (epoch, batch index, loader role): the earlier flat
+    ``epoch*10_007 + batch`` scheme replayed identical mask streams for
+    epoch e batch k+10_007 and epoch e+1 batch k (real pretraining
+    epochs have ~20k batches), and train/val loaders sharing cfg.seed
+    collided outright."""
+    from rmcl_tpu.data.rng import batch_seed
+    seen = {}
+    for role in (0, 1, 2):
+        for e in range(3):
+            for k in [0, 1, 10_007, 20_014, 1_000_000, 2 ** 32]:
+                s = batch_seed(7, e, k, role)
+                assert s not in seen, ((role, e, k), seen[s])
+                seen[s] = (role, e, k)
+    # the historical aliasing pair, explicitly
+    assert batch_seed(7, 1, 0) != batch_seed(7, 0, 10_007)
+    # train epoch-0 vs val (stuck at epoch 0) same batch index
+    assert batch_seed(7, 0, 3, role=0) != batch_seed(7, 0, 3, role=1)
+
+
+def test_loader_resume_replays_exact_mlm_masks(arrow_dir, tok):
+    """Mid-epoch resume (set_epoch(e, skip_batches=k)) must replay the
+    SAME MLM masks the uninterrupted run produced for batches k.. —
+    collate RNG is a pure function of batch position (data/rng.py
+    batch_rng), not a sequential stream whose position depends on how
+    many batches were decoded before."""
+    ds = ArrowDataset(
+        arrow_dir, ["pixelbert"], 64,
+        names=["coco_caption_karpathy_train"], text_column_name="caption",
+        max_text_len=12, bucket_hw=(64, 64), tokenizer=tok)
+
+    def make_loader():
+        coll = MLMCollator(tok, seed=0, whole_word=True)
+
+        def cfn(samples):
+            return collate(samples, coll, bucket_hw=(64, 64))
+
+        return DataLoader(ds, 2, cfn, shuffle=True, seed=1, num_workers=2)
+
+    full = list(make_loader())
+    assert len(full) >= 2
+    resumed_loader = make_loader()
+    resumed_loader.set_epoch(0, skip_batches=1)
+    resumed = list(resumed_loader)
+    assert len(resumed) == len(full) - 1
+    for bf, br in zip(full[1:], resumed):
+        for k in bf:
+            np.testing.assert_array_equal(
+                np.asarray(bf[k]), np.asarray(br[k]), err_msg=k)
+    # and masks are actually live (some position masked somewhere)
+    assert any((np.asarray(b["text_labels_mlm"]) != -100).any()
+               for b in full)
