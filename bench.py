@@ -13,6 +13,19 @@ step on ViLT-B/32 — the reference's hot path (SURVEY.md §3.1):
   + InfoNCE losses, backward, AdamW update, 65536-negative queue enqueue
 all fused into ONE XLA program (reference: ~14 separate eager phases).
 
+Beyond `task_moco`, the OTHER frameworks the reference ships are
+benched co-equally (VERDICT r4 #1): `task_barlowtwins` clean+attacked
+(reference vilt/config.py:166-199, objectives.py:449-602 — its greedy
+attack path runs WITHOUT live-set compaction or chunked scoring, both
+disabled by the batch-coupled projector BatchNorm) and the two-image
+`task_finetune_nlvr2_randaug_attacked` PGD+greedy step (reference
+config.py:258-287, pgd_attack_vilt.py:241-342).  Each extra task runs
+in its OWN subprocess with a fresh TPU client: a single process holding
+the moco b16 + b128 + fused-attack + BT + NLVR2 executables at once
+risks the known TPU-worker executable-memory OOM (ROADMAP round 4).
+Set BENCH_TASKS=moco to skip the extras; BENCH_TASK=<name> runs one
+task in-process (the subprocess entry).
+
 Baseline: the reference publishes no throughput numbers (SURVEY.md §6).
 `REF_PAIRS_PER_SEC_PER_GPU` is our measured-order estimate for the same
 step on the reference stack (PyTorch Lightning, V100-class GPU, batch
@@ -65,26 +78,54 @@ OVERLAP = os.environ.get("BENCH_OVERLAP", "1") == "1"
 PEAK_TFLOPS = float(os.environ.get("BENCH_PEAK_TFLOPS", "197"))
 
 
-def step_mfu(cfg, batch_size: int, dt_sec: float) -> float:
-    """Achieved MFU of the RMCL step against PEAK_TFLOPS.
-
-    Matmul-FLOP model (ROADMAP.md "Physics note"): one ViLT-B forward
-    at S tokens is L·(24·S·C² + 4·S²·C)·B matmul FLOPs; the step is
-    ~`fwd_equiv` forward-equivalents — PGD iters×2 (fwd + bwd-to-input)
-    + views×3 (fwd + bwd≈2×, remat replay folded in) + 1 key forward.
-    At the defaults (5 PGD, 4 views) that is the 23 fwd-equivalents /
-    ~76 ms b16 floor from ROADMAP.
-    """
+def _fwd_flops(cfg, batch_size: int) -> float:
+    """Matmul FLOPs of ONE ViLT forward at the config's S
+    (ROADMAP.md "Physics note"): L·(24·S·C² + 4·S²·C)·B."""
     C = cfg.hidden_size
     L = cfg.num_layers
     S = (cfg.max_image_len if cfg.max_image_len > 0 else
          cfg.grid_hw[0] * cfg.grid_hw[1]) + 1 + cfg.max_text_len
-    fwd_flops = L * (24 * S * C * C + 4 * S * S * C) * batch_size
+    return L * (24 * S * C * C + 4 * S * S * C) * batch_size
+
+
+def step_mfu(cfg, batch_size: int, dt_sec: float) -> float:
+    """Achieved MFU of the RMCL MoCo step against PEAK_TFLOPS.
+
+    The step is ~`fwd_equiv` forward-equivalents — PGD iters×2 (fwd +
+    bwd-to-input) + views×3 (fwd + bwd≈2×, remat replay folded in) + 1
+    key forward.  At the defaults (5 PGD, 4 views) that is the 23
+    fwd-equivalents / ~76 ms b16 floor from ROADMAP.
+    """
     n_views = 1 + (1 if cfg.image_view else 0) + (1 if cfg.text_view else 0) \
         + (1 if (cfg.image_view and cfg.text_view) else 0)
     fwd_equiv = ((cfg.adv_steps_img * 2 if cfg.image_view else 0)
                  + n_views * 3 + 1)
-    achieved_tfs = fwd_equiv * fwd_flops / dt_sec / 1e12
+    achieved_tfs = fwd_equiv * _fwd_flops(cfg, batch_size) / dt_sec / 1e12
+    return achieved_tfs / PEAK_TFLOPS
+
+
+def bt_step_mfu(cfg, batch_size: int, dt_sec: float) -> float:
+    """BarlowTwins step (reference objectives.py:449-602): 1 key
+    forward (no grad) + PGD iters×2 + 3 attacked views ×3 (txt/img/both
+    fwd + bwd≈2×) — unlike MoCo there is NO trained clean-query view
+    (the clean forward IS the stop-gradient key)."""
+    n_views = ((1 if cfg.text_view else 0) + (1 if cfg.image_view else 0)
+               + (1 if (cfg.image_view and cfg.text_view) else 0))
+    fwd_equiv = ((cfg.adv_steps_img * 2 if cfg.image_view else 0)
+                 + n_views * 3 + 1)
+    achieved_tfs = fwd_equiv * _fwd_flops(cfg, batch_size) / dt_sec / 1e12
+    return achieved_tfs / PEAK_TFLOPS
+
+
+def nlvr2_step_mfu(cfg, batch_size: int, dt_sec: float) -> float:
+    """NLVR2 attacked step (reference objectives.py:898-1000,
+    pgd_attack_vilt.py:241-342) in single-image forward units: every
+    logits call runs TWO image+text forwards (image_token_type 1 and
+    2); original logits (trained: 2×3) + PGD iters on both images
+    (iters × 2 imgs × 2) + attacked logits (trained: 2×3)."""
+    fwd_equiv = (2 * 3) + (cfg.adv_steps_img * 2 * 2
+                           if cfg.image_view else 0) + (2 * 3)
+    achieved_tfs = fwd_equiv * _fwd_flops(cfg, batch_size) / dt_sec / 1e12
     return achieved_tfs / PEAK_TFLOPS
 
 # vocabulary for the BENCH_GREEDY synthetic counter-fitted subset
@@ -107,16 +148,19 @@ _GREEDY_GROUPS = [
 ]
 
 
-def _greedy_setup(cfg, model, batch_size, mix=None):
+def _greedy_setup(cfg, model, batch_size, mix=None, attacker_cls=None):
     """Tiny tokenizer + synthetic counter-fitted synonym table + text
     batch for the full-hot-path bench (the real counter-fitted vectors
     are not in this environment; the attack's device cost is set by
     (B, n_candidates, max_loops, model), not by vocabulary size).
-    mix overrides BENCH_GREEDY_MIX ("worst" | "realistic")."""
+    mix overrides BENCH_GREEDY_MIX ("worst" | "realistic");
+    attacker_cls selects the framework attacker (default MoCo)."""
     import tempfile
     from rmcl_tpu.attacks.greedy import GreedyAttackMoco, SynonymTable
     from rmcl_tpu.data.tokenizer import WordPieceTokenizer, make_tiny_vocab
 
+    if attacker_cls is None:
+        attacker_cls = GreedyAttackMoco
     d = tempfile.mkdtemp(prefix="bench_greedy_")
     vocab = os.path.join(d, "vocab.txt")
     make_tiny_vocab(vocab, _GREEDY_WORDS)
@@ -135,7 +179,7 @@ def _greedy_setup(cfg, model, batch_size, mix=None):
         for w, v in vecs.items():
             f.write(w + " " + " ".join(f"{x:.5f}" for x in v) + "\n")
     syn = SynonymTable(emb, cfg.n_candidates, cfg.sim_thred)
-    greedy = GreedyAttackMoco(cfg, model, tok, syn)
+    greedy = attacker_cls(cfg, model, tok, syn)
     if os.environ.get("BENCH_GREEDY_IMPL", "fused") == "fused":
         from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
         greedy = FusedGreedyAttack(greedy)
@@ -165,7 +209,7 @@ def _greedy_setup(cfg, model, batch_size, mix=None):
     return greedy, ids.astype(np.int32), masks.astype(np.int32)
 
 
-def main():
+def run_moco():
     import jax
     import jax.numpy as jnp
     from rmcl_tpu.core.config import build_config
@@ -315,6 +359,16 @@ def main():
                 g["realistic_num_changes"], 3)
             result["attacked_worst_num_changes"] = round(
                 g["worst_num_changes"], 3)
+            # outcome telemetry (VERDICT r4 #8): fraction of samples
+            # whose nearest-key prediction flipped under the text
+            # attack (geom_success_rate, reference objectives.py:298),
+            # averaged over the timed iterations; guarded > 0 inside
+            # measure_fused_greedy
+            if "realistic_flip_rate" in g:
+                result["attacked_pred_flip_rate"] = round(
+                    g["realistic_flip_rate"], 3)
+                result["attacked_worst_pred_flip_rate"] = round(
+                    g["worst_flip_rate"], 3)
             result["attack_strength_ok"] = True
             # legacy field names (rounds <= 3)
             result["greedy_pairs_per_sec"] = round(g["worst"], 2)
@@ -326,7 +380,7 @@ def main():
         except Exception as e:  # never sink the headline number
             log(f"greedy bench failed: {e}")
 
-    print(json.dumps(result))
+    return result
 
 
 def bench_greedy(cfg, model, ts, tx, step_fn, batch, rng):
@@ -442,13 +496,20 @@ def _run_fused_step(cfg, model, ts, tx, greedy, base, ids, rng):
     return dt, metrics
 
 
-def measure_fused_greedy(cfg, model, rng) -> dict:
-    """Measure the production `task_moco text_view` hot path (fused
-    attack + step, one program) with a fresh TrainState on BOTH
-    sentence mixes — worst-case (every word attackable) and realistic
-    (caption-like stopword share).  The two mixes share one compiled
-    program (same shapes, different token ids), so the second costs
-    only its timing iterations.  Returns {mix: pairs/s}."""
+def measure_fused_greedy(cfg, model, rng, attacker_cls=None,
+                         extra_batch=None, loss_key="moco_loss",
+                         flip_key="geom_success_rate") -> dict:
+    """Measure the production attacked hot path (fused attack + step,
+    one program) with a fresh TrainState on BOTH sentence mixes —
+    worst-case (every word attackable) and realistic (caption-like
+    stopword share).  The two mixes share one compiled program (same
+    shapes, different token ids), so the second costs only its timing
+    iterations.  Framework-generic (VERDICT r4 #1): attacker_cls picks
+    the greedy attacker, extra_batch supplies per-task arrays
+    (image_0/image_1/answers for NLVR2), loss_key the fetch-forcing
+    metric, flip_key the prediction-flip outcome scalar (None = the
+    framework has no prediction to flip, e.g. BarlowTwins).
+    Returns {mix: pairs/s, mix+"_num_changes", mix+"_flip_rate"}."""
     import jax
     import jax.numpy as jnp
     from __graft_entry__ import _fake_batch
@@ -457,15 +518,19 @@ def measure_fused_greedy(cfg, model, rng) -> dict:
     from rmcl_tpu.attacks.greedy_fused import FusedGreedyAttack
 
     greedy, ids_w, masks_w = _greedy_setup(cfg, model, BATCH,
-                                           mix="worst")
+                                           mix="worst",
+                                           attacker_cls=attacker_cls)
     _, ids_r, masks_r = _greedy_setup(cfg, model, BATCH,
-                                      mix="realistic")
+                                      mix="realistic",
+                                      attacker_cls=attacker_cls)
     if not isinstance(greedy, FusedGreedyAttack):
         greedy = FusedGreedyAttack(greedy)
     _, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     batch = {k: jnp.asarray(v)
              for k, v in _fake_batch(cfg, BATCH, with_views=True).items()}
     base = {k: v for k, v in batch.items() if not k.startswith("attacked")}
+    if extra_batch:
+        base.update({k: jnp.asarray(v) for k, v in extra_batch.items()})
     step2 = make_attacked_train_step(cfg, model, tx, greedy, donate=True)
 
     out = {}
@@ -486,21 +551,28 @@ def measure_fused_greedy(cfg, model, rng) -> dict:
             t0 = time.perf_counter()
             ts, metrics = step2(ts, make_batch(), rng)
             log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-                f"moco_loss={float(metrics['moco_loss']):.4f}")
+                f"{loss_key}={float(metrics[loss_key]):.4f}")
             compiled = True
         for _ in range(WARMUP):
             ts, metrics = step2(ts, make_batch(), rng)
-        _ = float(metrics["moco_loss"])
+        _ = float(metrics[loss_key])
+        flips = 0.0
         t0 = time.perf_counter()
         for _ in range(ITERS):
             ts, metrics = step2(ts, make_batch(), rng)
-        _ = float(metrics["moco_loss"])
+            if flip_key is not None:
+                flips += float(metrics[flip_key])
+        _ = float(metrics[loss_key])
         dt = (time.perf_counter() - t0) / ITERS
         nch = float(metrics["num_changes"])
+        flip = flips / ITERS if flip_key is not None else None
         log(f"fused-1prog step+attack [{mix:9s}] {dt*1e3:7.1f} ms -> "
-            f"{BATCH/dt:6.1f} pairs/s  num_changes={nch:.2f}")
+            f"{BATCH/dt:6.1f} pairs/s  num_changes={nch:.2f}"
+            + (f"  flip_rate={flip:.2f}" if flip is not None else ""))
         out[mix] = BATCH / dt
         out[mix + "_num_changes"] = nch
+        if flip is not None:
+            out[mix + "_flip_rate"] = flip
 
     # attack-strength guards: perf work must not silently weaken the
     # attack.  At these mixes (10-word sentences, 20% budget = 2
@@ -513,7 +585,248 @@ def measure_fused_greedy(cfg, model, rng) -> dict:
     assert out["realistic_num_changes"] >= 0.3, (
         f"attack strength collapsed: realistic-mix num_changes "
         f"{out['realistic_num_changes']:.2f} < 0.3")
+    # outcome guard (VERDICT r4 #8): substitutions must CHANGE model
+    # behavior, not only edit tokens — the worst mix averaging ~2
+    # synonym swaps per 10-word caption must flip at least some
+    # nearest-key predictions across BATCH×ITERS samples.
+    if flip_key is not None:
+        assert out["worst_flip_rate"] > 0.0, (
+            "attack outcome collapsed: worst-mix commits "
+            f"{out['worst_num_changes']:.2f} changes/sentence but "
+            f"flipped zero predictions ({flip_key})")
     return out
+
+
+def _timed_clean_step(cfg, step_fn, ts, batch, rng, loss_key):
+    """Compile + warm + time a donated step chain; returns dt."""
+    import jax
+    log("compiling...")
+    t0 = time.perf_counter()
+    ts, metrics = step_fn(ts, batch, rng)
+    jax.block_until_ready(metrics)
+    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
+        f"{loss_key}={float(metrics[loss_key]):.4f}")
+    for _ in range(WARMUP):
+        ts, metrics = step_fn(ts, batch, rng)
+    jax.block_until_ready(metrics)
+    t0 = time.perf_counter()
+    for _ in range(ITERS):
+        ts, metrics = step_fn(ts, batch, rng)
+    jax.block_until_ready(metrics)
+    return (time.perf_counter() - t0) / ITERS
+
+
+def run_barlowtwins():
+    """`task_barlowtwins` (reference vilt/config.py:166-199): clean
+    step (EMA-free: frozen key forward + PGD image view + attacked-text
+    view + both view + BT correlation losses + AdamW) and the
+    one-program greedy-attacked step.  The attacked path is the
+    structurally different one (VERDICT r4 #1): the projector BN's
+    batch coupling disables live-set compaction AND chunked candidate
+    scoring (attacks/greedy_fused.py), so its rate is NOT implied by
+    the MoCo numbers."""
+    import jax
+    import jax.numpy as jnp
+    from rmcl_tpu.attacks.greedy import GreedyAttackBarlowTwins
+    from rmcl_tpu.core.config import build_config
+    from rmcl_tpu.train.step import create_train_state, make_train_step
+    from __graft_entry__ import _fake_batch
+
+    dev = jax.devices()[0]
+    log(f"benchmarking task_barlowtwins on {dev.platform}:{dev.device_kind}")
+    on_tpu = dev.platform == "tpu"
+    cfg = build_config(
+        "task_barlowtwins",
+        image_bucket_hw=(384, 576),
+        max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
+        image_view=True, text_view=True,
+        adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        per_device_batchsize=BATCH, max_steps=200000,
+        image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
+        dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
+    )
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, donate=True)
+    batch = {k: jnp.asarray(v)
+             for k, v in _fake_batch(cfg, BATCH, with_views=True).items()}
+    rng = jax.random.PRNGKey(1)
+
+    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng,
+                           "barlowtwins_loss")
+    pairs = BATCH / dt
+    mfu = bt_step_mfu(cfg, BATCH, dt)
+    log(f"bt clean step {dt*1e3:.1f} ms -> {pairs:.1f} pairs/s/chip "
+        f"(MFU {mfu:.1%})")
+    result = {
+        "metric": "rmcl_barlowtwins_step_pairs_per_sec_per_chip",
+        "value": round(pairs, 2),
+        "value_kind": "clean_step",
+        "unit": "pairs/s",
+        "mfu": round(mfu, 4),
+    }
+
+    if os.environ.get("BENCH_INCLUDE_GREEDY", "1") == "1":
+        del ts, batch  # free HBM before the attack program compiles
+        # BT has no per-sample prediction to flip (correlation loss) —
+        # flip_key=None; strength is guarded by num_changes.
+        g = measure_fused_greedy(cfg, model, rng,
+                                 attacker_cls=GreedyAttackBarlowTwins,
+                                 loss_key="barlowtwins_loss",
+                                 flip_key=None)
+        result["attacked_pairs_per_sec"] = round(g["realistic"], 2)
+        result["attacked_worst_pairs_per_sec"] = round(g["worst"], 2)
+        result["attacked_num_changes"] = round(
+            g["realistic_num_changes"], 3)
+        result["attacked_worst_num_changes"] = round(
+            g["worst_num_changes"], 3)
+        result["attack_strength_ok"] = True
+    return result
+
+
+def run_nlvr2_attacked():
+    """`task_finetune_nlvr2_randaug_attacked` (reference
+    vilt/config.py:258-287, pgd_attack_vilt.py:241-342): the two-image
+    attacked finetune step.  `value` is the PGD-inclusive train step
+    (original CE + 5-step PGD on BOTH images + attacked CE — the PGD
+    attack is part of the objective, not an add-on), with the greedy
+    text attack one-program rate co-equal."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from rmcl_tpu.attacks.greedy import GreedyAttackNlvr2
+    from rmcl_tpu.core.config import build_config
+    from rmcl_tpu.train.step import create_train_state, make_train_step
+    from __graft_entry__ import _fake_batch
+
+    dev = jax.devices()[0]
+    log(f"benchmarking task_finetune_nlvr2_randaug_attacked on "
+        f"{dev.platform}:{dev.device_kind}")
+    on_tpu = dev.platform == "tpu"
+    cfg = build_config(
+        "task_finetune_nlvr2_randaug_attacked",
+        image_bucket_hw=(384, 576),
+        max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
+        image_view=True, text_view=True,
+        adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
+        compute_dtype="bfloat16" if on_tpu else "float32",
+        per_device_batchsize=BATCH, max_steps=200000,
+        image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
+        dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
+    )
+    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
+    step_fn = make_train_step(cfg, model, tx, donate=True)
+
+    fb0 = _fake_batch(cfg, BATCH, seed=0, with_views=True)
+    fb1 = _fake_batch(cfg, BATCH, seed=3)
+    extra = {
+        "image_0": fb0.pop("image"),
+        "image_1": fb1["image"],
+        "answers": np.random.RandomState(2).randint(
+            0, 2, (BATCH,)).astype(np.int32),
+    }
+    batch = {k: jnp.asarray(v) for k, v in {**fb0, **extra}.items()}
+    rng = jax.random.PRNGKey(1)
+
+    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng,
+                           "nlvr2_attacked_loss")
+    pairs = BATCH / dt
+    mfu = nlvr2_step_mfu(cfg, BATCH, dt)
+    log(f"nlvr2 pgd step {dt*1e3:.1f} ms -> {pairs:.1f} pairs/s/chip "
+        f"(MFU {mfu:.1%})")
+    result = {
+        "metric": "rmcl_nlvr2_attacked_step_pairs_per_sec_per_chip",
+        "value": round(pairs, 2),
+        "value_kind": "pgd_step",  # PGD is part of this objective
+        "unit": "pairs/s",
+        "mfu": round(mfu, 4),
+    }
+
+    if os.environ.get("BENCH_INCLUDE_GREEDY", "1") == "1":
+        del ts, batch
+        g = measure_fused_greedy(cfg, model, rng,
+                                 attacker_cls=GreedyAttackNlvr2,
+                                 extra_batch=extra,
+                                 loss_key="nlvr2_attacked_loss",
+                                 flip_key="nlvr2_flip_rate")
+        result["attacked_pairs_per_sec"] = round(g["realistic"], 2)
+        result["attacked_worst_pairs_per_sec"] = round(g["worst"], 2)
+        result["attacked_num_changes"] = round(
+            g["realistic_num_changes"], 3)
+        result["attacked_worst_num_changes"] = round(
+            g["worst_num_changes"], 3)
+        result["attacked_pred_flip_rate"] = round(
+            g["realistic_flip_rate"], 3)
+        result["attacked_worst_pred_flip_rate"] = round(
+            g["worst_flip_rate"], 3)
+        result["attack_strength_ok"] = True
+    return result
+
+
+_TASK_RUNNERS = {
+    "moco": run_moco,
+    "barlowtwins": run_barlowtwins,
+    "nlvr2_attacked": run_nlvr2_attacked,
+}
+
+# prefix for merging a subtask's fields into the headline JSON
+_TASK_PREFIX = {"barlowtwins": "bt_", "nlvr2_attacked": "nlvr2_"}
+
+
+def main():
+    """Orchestrator: one subprocess per benched task, each with a fresh
+    TPU client (see module docstring), merged into ONE JSON line with
+    the `task_moco` result as the base (field names unchanged across
+    rounds).  BENCH_TASK=<name> (the subprocess entry, also usable
+    directly) runs that task in-process and prints its own JSON."""
+    import subprocess
+
+    task = os.environ.get("BENCH_TASK", "")
+    if task:
+        result = _TASK_RUNNERS[task]()
+        if result is not None:
+            print(json.dumps(result))
+        return
+
+    tasks = [t for t in os.environ.get(
+        "BENCH_TASKS", "moco,barlowtwins,nlvr2_attacked").split(",") if t]
+    if tasks == ["moco"] or GREEDY:
+        # single-task / legacy-path invocations skip the subprocess hop
+        result = run_moco()
+        if result is not None:
+            print(json.dumps(result))
+        return
+
+    merged = None
+    for t in tasks:
+        env = dict(os.environ, BENCH_TASK=t)
+        log(f"=== bench task {t} (subprocess) ===")
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)], env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=3600)
+        sys.stderr.write(proc.stderr)
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.startswith("{")), None)
+        if proc.returncode != 0 or line is None:
+            if t == "moco":
+                sys.stdout.write(proc.stdout)
+                raise RuntimeError(
+                    f"headline moco bench failed (rc={proc.returncode})")
+            log(f"bench task {t} failed (rc={proc.returncode}) — "
+                f"headline unaffected")
+            continue
+        sub = json.loads(line)
+        if t == "moco":
+            merged = sub
+        else:
+            pre = _TASK_PREFIX[t]
+            merged[pre + "pairs_per_sec"] = sub["value"]
+            merged[pre + "mfu"] = sub["mfu"]
+            for k, v in sub.items():
+                if k.startswith(("attacked_", "attack_")):
+                    merged[pre + k] = v
+    print(json.dumps(merged))
 
 
 def bench_fused_step(cfg, model, ts, tx, greedy, base, ids, rng):

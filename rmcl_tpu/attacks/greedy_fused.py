@@ -193,9 +193,10 @@ class FusedGreedyAttack:
         bound reaches max_text_len the bucket IS max_text_len and the
         program is unchanged.  The returned ids re-enter the train step
         at full max_text_len either way.  Disable: cfg
-        greedy_text_bucket=False."""
+        attack_text_bucket=False."""
+        from rmcl_tpu.core.buckets import bucket_enabled
         T = self.base.max_length
-        if not getattr(self.base.cfg, "greedy_text_bucket", True):
+        if not bucket_enabled(self.base.cfg, "attack"):
             return T
         total0 = int(word_len.sum(axis=1).max()) if word_len.size else 0
         growth = max(int(cand_len.max()) - 1, 0) if cand_len.size else 0

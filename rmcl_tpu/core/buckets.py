@@ -20,3 +20,14 @@ def text_bucket(n_valid: int, max_len: int,
     """Smallest align-multiple static text length covering ``n_valid``
     tokens, floored at ``align`` and capped at ``max_len``."""
     return min(max_len, max(-(-n_valid // align) * align, align))
+
+
+def bucket_enabled(cfg, which: str) -> bool:
+    """Resolve the per-consumer text-bucket flag (``which`` in
+    {"attack", "eval", "train"}): the ``<which>_text_bucket`` config
+    field when set, else the deprecated ``greedy_text_bucket`` umbrella
+    alias (the single pre-round-5 flag)."""
+    v = getattr(cfg, f"{which}_text_bucket", None)
+    if v is None:
+        v = getattr(cfg, "greedy_text_bucket", True)
+    return bool(v)

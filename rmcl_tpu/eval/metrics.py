@@ -117,8 +117,13 @@ class MetricBag:
 
         `valid` (bool [B]) masks wrap-around padding rows the static-shape
         val/test loader appends (data/loader.py): per-sample metrics drop
-        masked rows; batch-mean loss scalars are weighted by the valid
-        fraction."""
+        masked rows.  Loss scalars: objectives that emit a per-sample
+        decomposition (`{key}_ps` sums + optional `{key}_wt` weights —
+        PARITY #10) recombine EXACTLY over the valid rows (identical to
+        an exact-size final batch, i.e. torch's ragged last batch,
+        reference base_dataset.py:184-206); batch-coupled losses without
+        one (BarlowTwins correlation) fall back to weighting the batch
+        mean by the valid fraction."""
         ln = self.loss_names
         w = 1.0
         if valid is not None:
@@ -135,10 +140,25 @@ class MetricBag:
                 return a[valid]
             return a
 
+        def update_loss(metric, key):
+            ps = ret.get(key + "_ps")
+            if valid is not None and ps is not None \
+                    and np.asarray(ps).shape[:1] == valid.shape:
+                psv = np.asarray(ps, np.float64)[valid]
+                wt = ret.get(key + "_wt")
+                denom = (float(np.asarray(wt, np.float64)[valid].sum())
+                         if wt is not None else float(valid.sum()))
+                # the exact-size loader's final batch updates with
+                # weight 1 (one batch-mean per update, reference PL
+                # Scalar semantics) — so does the masked recombination
+                metric.update(psv.sum() / max(denom, 1.0), weight=1.0)
+            else:
+                metric.update(ret[key], weight=w)
+
         # losses accumulate from their scalar whenever present
         for key, metric in self.metrics.items():
             if key.endswith("_loss") and key in ret:
-                metric.update(ret[key], weight=w)
+                update_loss(metric, key)
         if ln.get("mlm", 0) >= 1 and "mlm_logits" in ret:
             self.metrics["mlm_accuracy"].update(rows("mlm_logits"),
                                                 rows("mlm_labels"))
@@ -179,7 +199,10 @@ class MetricBag:
                 continue
             if (isinstance(v, (int, float))
                     or getattr(v, "ndim", None) == 0):
-                self.extra.setdefault(k, Scalar()).update(np.asarray(v))
+                if k.endswith("_loss") and (k + "_ps") in ret:
+                    update_loss(self.extra.setdefault(k, Scalar()), k)
+                else:
+                    self.extra.setdefault(k, Scalar()).update(np.asarray(v))
 
     # ------------------------------------------------ cross-host reduce
     def _cross_host_sync(self):

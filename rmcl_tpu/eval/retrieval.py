@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rmcl_tpu.core.buckets import text_bucket
+from rmcl_tpu.core.buckets import bucket_enabled, text_bucket
 from rmcl_tpu.models.heads import rank_output
 from rmcl_tpu.models.vit import visual_embed
 
@@ -130,8 +130,8 @@ def compute_irtr_recall(trainer, dataset_name: Optional[str] = None,
     # bucketing typical ~16-token captions brings S back under 256,
     # dropping a whole 128-row tile (~33% of the O(n_img x n_txt) rank
     # FLOPs).  Same numeric class as padded-batch composition
-    # (reference EVAL.md:2); disable with cfg.greedy_text_bucket=False.
-    if getattr(cfg, "greedy_text_bucket", True) and n_txt_total:
+    # (reference EVAL.md:2); disable with cfg.eval_text_bucket=False.
+    if bucket_enabled(cfg, "eval") and n_txt_total:
         tb = text_bucket(int(text_masks.sum(axis=1).max()),
                          cfg.max_text_len)
         text_ids = text_ids[:, :tb]

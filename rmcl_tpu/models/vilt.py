@@ -195,8 +195,9 @@ def init_vilt(key, cfg: RMCLConfig):
         state["proj_queue_ptr"] = jnp.zeros((), jnp.int32)
 
     if _needs(cfg, "barlowtwins"):
+        d1, d2, dout = getattr(cfg, "bt_proj_dims", (8192, 8192, 8192))
         params["barlowtwins_head"] = H.init_barlowtwins_head(
-            next(ks), cfg.hidden_size, [8192, 8192], 8192)
+            next(ks), cfg.hidden_size, [d1, d2], dout)
 
     if _needs(cfg, "vqa") or _needs(cfg, "vqa_attacked"):
         params["vqa_classifier"] = H.init_vqa_classifier(

@@ -90,6 +90,13 @@ def infonce(q, k, neg_queue, temperature: float):
     return cross_entropy(logits, labels), logits
 
 
+def _infonce_rows(logits):
+    """Per-sample InfoNCE NLL (label 0): mean == the infonce loss.
+    Per-row independent (the queue is fixed within a step), so masked
+    recombination over valid rows is exact (PARITY #10)."""
+    return -jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)[:, 0]
+
+
 def _view_diagnostics(q, k, neg_queue, suffix: str) -> Dict[str, Any]:
     """Pos/neg L2-cosine-dot panels (reference objectives.py:300-312),
     batched instead of per-sample loops.  All three negative panels
@@ -205,8 +212,9 @@ def compute_moco_contrastive(
         k_rep = jnp.concatenate([k] * len(names), 0)
         _, logits_all = infonce(q_all, k_rep, neg_queue, temperature)
         preds = jnp.argmax(logits_all, -1).reshape(len(names), B)
-        per_view_loss = -jax.nn.log_softmax(
-            logits_all, axis=-1)[:, 0].reshape(len(names), B).mean(axis=1)
+        per_view_rows = -jax.nn.log_softmax(
+            logits_all, axis=-1)[:, 0].reshape(len(names), B)
+        per_view_loss = per_view_rows.mean(axis=1)
 
         loss = 0.0
         loss_num = 0
@@ -218,6 +226,7 @@ def compute_moco_contrastive(
                 (preds[vi] != preds[0]).astype(jnp.float32))
             ret.update(_view_diagnostics(q_v, k, neg_queue, name))
             ret[f"attacked_{name}_loss"] = per_view_loss[vi]
+            ret[f"attacked_{name}_loss_ps"] = per_view_rows[vi]
             loss = loss + per_view_loss[vi]
             loss_num += 1
 
@@ -226,6 +235,8 @@ def compute_moco_contrastive(
             new_state = dequeue_and_enqueue(new_state, k,
                                             per_step_bs or k.shape[0])
         ret["moco_loss"] = jnp.asarray(loss / max(loss_num, 1), jnp.float32)
+        ret["moco_loss_ps"] = (per_view_rows[1:].sum(axis=0)
+                               / max(loss_num, 1))
         return ret, new_params, new_state
 
     # ---- clean query (unfused path; the fused branch recomputes it
@@ -249,6 +260,7 @@ def compute_moco_contrastive(
             (jnp.argmax(logits_t, -1) != pred_orig).astype(jnp.float32))
         ret.update(_view_diagnostics(q_txt, k, neg_queue, "txt"))
         ret["attacked_txt_loss"] = l_txt
+        ret["attacked_txt_loss_ps"] = _infonce_rows(logits_t)
         loss = loss + l_txt
         loss_num += 1
 
@@ -262,6 +274,7 @@ def compute_moco_contrastive(
             (jnp.argmax(logits_i, -1) != pred_orig).astype(jnp.float32))
         ret.update(_view_diagnostics(q_img, k, neg_queue, "img"))
         ret["attacked_img_loss"] = l_img
+        ret["attacked_img_loss_ps"] = _infonce_rows(logits_i)
         loss = loss + l_img
         loss_num += 1
 
@@ -279,6 +292,7 @@ def compute_moco_contrastive(
             (jnp.argmax(logits_b, -1) != pred_orig).astype(jnp.float32))
         ret.update(_view_diagnostics(q_both, k, neg_queue, "both"))
         ret["attacked_both_loss"] = l_both
+        ret["attacked_both_loss_ps"] = _infonce_rows(logits_b)
         loss = loss + l_both
         loss_num += 1
 
@@ -287,6 +301,11 @@ def compute_moco_contrastive(
         new_state = dequeue_and_enqueue(new_state, k, per_step_bs or k.shape[0])
 
     ret["moco_loss"] = jnp.asarray(loss / max(loss_num, 1), jnp.float32)
+    ps_keys = [key for key in ("attacked_txt_loss_ps", "attacked_img_loss_ps",
+                               "attacked_both_loss_ps") if key in ret]
+    if ps_keys:
+        ret["moco_loss_ps"] = (
+            sum(ret[key] for key in ps_keys) / max(loss_num, 1))
     return ret, new_params, new_state
 
 

@@ -29,7 +29,9 @@ import jax.numpy as jnp
 from rmcl_tpu.models.heads import (
     itm_head, moco_head, nlvr2_classifier, rank_output, vqa_classifier)
 from rmcl_tpu.models.vit import visual_embed
-from rmcl_tpu.objectives.losses import bce_with_logits, cross_entropy, l2_normalize
+from rmcl_tpu.objectives.losses import (
+    bce_rowsum_with_logits, bce_with_logits, cross_entropy,
+    cross_entropy_per_sample, l2_normalize)
 
 
 # ------------------------------------------------------------------- VQA
@@ -41,6 +43,7 @@ def compute_vqa(model, params, batch, *, rng=None, train: bool = False):
     score = jnp.mean(jnp.take_along_axis(
         targets, jnp.argmax(logits, -1)[:, None], axis=1)[:, 0])
     return {"vqa_loss": loss, "vqa_logits": logits, "vqa_targets": targets,
+            "vqa_loss_ps": bce_rowsum_with_logits(logits, targets),
             "vqa_step_score": score}
 
 
@@ -65,6 +68,7 @@ def compute_vqa_attack(model, params, batch, *, rng=None, train: bool = False,
     # clean and attacked results separate (the reference reuses the
     # clean keys but never activates both tasks at once)
     return {"vqa_attacked_loss": loss, "vqa_attacked_logits": logits,
+            "vqa_attacked_loss_ps": bce_rowsum_with_logits(logits, targets),
             "vqa_targets": targets}
 
 
@@ -84,6 +88,7 @@ def compute_nlvr2(model, params, batch, *, rng=None, train: bool = False):
     labels = batch["answers"].astype(jnp.int32)
     return {
         "nlvr2_loss": cross_entropy(logits, labels),
+        "nlvr2_loss_ps": cross_entropy_per_sample(logits, labels)[0],
         "nlvr2_logits": logits,
         "nlvr2_labels": labels,
         "nlvr2_step_accuracy": jnp.mean(
@@ -102,6 +107,8 @@ def compute_nlvr2_attack(model, params, batch, *, rng=None,
     ori_logits = _nlvr2_logits(model, params, batch, rng, train)
     ret["nlvr2_original_logits"] = ori_logits
     ret["nlvr2_original_loss"] = cross_entropy(ori_logits, labels)
+    ret["nlvr2_original_loss_ps"] = cross_entropy_per_sample(
+        ori_logits, labels)[0]
 
     b = dict(batch)
     if image_view and pgd_fn is not None:
@@ -119,6 +126,15 @@ def compute_nlvr2_attack(model, params, batch, *, rng=None,
         att_logits = _nlvr2_logits(model, params, b, rng, train)
         ret["nlvr2_attacked_logits"] = att_logits
         ret["nlvr2_attacked_loss"] = cross_entropy(att_logits, labels)
+        ret["nlvr2_attacked_loss_ps"] = cross_entropy_per_sample(
+            att_logits, labels)[0]
+        # outcome scalar: fraction of predictions the attack flipped
+        # (the reference logs per-sample change telemetry,
+        # objectives.py:298-299,335-336; this is the step-level
+        # aggregate, kept in the jitted metrics like geom_success_rate)
+        ret["nlvr2_flip_rate"] = jnp.mean(
+            (jnp.argmax(att_logits, -1)
+             != jnp.argmax(ori_logits, -1)).astype(jnp.float32))
     return ret
 
 
@@ -170,6 +186,7 @@ def compute_irtr(model, params, batch, *, rng=None, train: bool = False,
         false_len, rng, train)
     answer = jnp.zeros((score.shape[0],), jnp.int32)
     return {"irtr_loss": cross_entropy(score, answer),
+            "irtr_loss_ps": cross_entropy_per_sample(score, answer)[0],
             "irtr_logits": score, "irtr_labels": answer,
             "irtr_step_accuracy": jnp.mean(
                 (jnp.argmax(score, -1) == 0).astype(jnp.float32))}
@@ -190,6 +207,7 @@ def compute_irtr_attacked(model, params, batch, *, rng=None,
     answer = jnp.zeros((score.shape[0],), jnp.int32)
     ret: Dict[str, Any] = {
         "irtr_original_loss": cross_entropy(score, answer),
+        "irtr_original_loss_ps": cross_entropy_per_sample(score, answer)[0],
         "irtr_original_logits": score,
         "irtr_labels": answer,
     }
@@ -209,5 +227,7 @@ def compute_irtr_attacked(model, params, batch, *, rng=None,
     if (image_view and pgd_fn is not None) or attacked_text is not None:
         att = _irtr_scores(model, params, b, head, false_len, rng, train)
         ret["irtr_attacked_loss"] = cross_entropy(att, answer)
+        ret["irtr_attacked_loss_ps"] = cross_entropy_per_sample(
+            att, answer)[0]
         ret["irtr_attacked_logits"] = att
     return ret

@@ -11,7 +11,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from rmcl_tpu.objectives.losses import cross_entropy
+from rmcl_tpu.objectives.losses import cross_entropy, \
+    cross_entropy_per_sample
 from rmcl_tpu.objectives.ot import cost_matrix_cosine, ipot, trace_bmm
 
 
@@ -22,10 +23,13 @@ def compute_mlm(model, params, batch, *, rng=None, train: bool = False):
     labels = infer["text_labels"]
     loss = cross_entropy(logits.reshape(-1, logits.shape[-1]),
                          labels.reshape(-1))
+    loss_ps, loss_wt = cross_entropy_per_sample(logits, labels)
     valid = labels != -100
     correct = (jnp.argmax(logits, -1) == labels) & valid
     return {
         "mlm_loss": loss,
+        "mlm_loss_ps": loss_ps,
+        "mlm_loss_wt": loss_wt,
         "mlm_logits": logits,
         "mlm_labels": labels,
         "mlm_ids": infer["text_ids"],
@@ -49,8 +53,11 @@ def compute_mpp(model, params, batch, *, rng, train: bool = False):
     logits = logits.reshape(B, S, 3, 256)       # stack of 3x256 RGB bins
     labels = infer["image_labels"]              # (B, S, 3)
     loss = cross_entropy(logits.reshape(-1, 256), labels.reshape(-1))
+    loss_ps, loss_wt = cross_entropy_per_sample(logits, labels)
     return {
         "mpp_loss": loss,
+        "mpp_loss_ps": loss_ps,
+        "mpp_loss_wt": loss_wt,
         "mpp_logits": logits,
         "mpp_labels": labels,
     }
@@ -104,10 +111,14 @@ def compute_itm_wpa(model, params, batch, *, rng, train: bool = False,
 
     logits = itm_head(params["itm_score"], infer["cls_feats"])
     itm_loss = cross_entropy(logits, itm_labels)
+    itm_ps, _ = cross_entropy_per_sample(logits, itm_labels)
 
     return {
         "itm_loss": itm_loss,
+        "itm_loss_ps": itm_ps,
         "itm_wpa_loss": 0.1 * ot_loss,
+        # signed per-sample OT distance: itm_wpa_loss == mean(ps)
+        "itm_wpa_loss_ps": 0.1 * jnp.where(pos_mask, distance, -distance),
         "itm_logits": logits,
         "itm_labels": itm_labels,
         "itm_step_accuracy": jnp.mean(
@@ -151,6 +162,10 @@ def compute_mppd(model, params, batch, *, rng, train: bool = False):
     denom = jnp.maximum(jnp.sum(masked) * diff.shape[-1], 1)
     loss = jnp.sum(jnp.where(masked[..., None], diff, 0.0)) / denom
     return {"mppd_loss": loss, "mppd_logits": logits,
+            "mppd_loss_ps": jnp.sum(
+                jnp.where(masked[..., None], diff, 0.0), axis=(1, 2)),
+            "mppd_loss_wt": (jnp.sum(masked, axis=1)
+                             * diff.shape[-1]).astype(jnp.float32),
             "mppd_labels": targets}
 
 
@@ -183,4 +198,8 @@ def compute_mpfr(model, params, batch, *, rng, train: bool = False):
     denom = jnp.maximum(jnp.sum(masked) * diff.shape[-1], 1)
     loss = jnp.sum(jnp.where(masked[..., None], diff, 0.0)) / denom
     return {"mpfr_loss": loss, "mpfr_logits": logits,
+            "mpfr_loss_ps": jnp.sum(
+                jnp.where(masked[..., None], diff, 0.0), axis=(1, 2)),
+            "mpfr_loss_wt": (jnp.sum(masked, axis=1)
+                             * diff.shape[-1]).astype(jnp.float32),
             "mpfr_labels": targets}

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from rmcl_tpu.core.buckets import text_bucket
+from rmcl_tpu.core.buckets import bucket_enabled, text_bucket
 from rmcl_tpu.core.config import RMCLConfig, active_tasks
 from rmcl_tpu.data.datamodule import MultitaskDataModule
 from rmcl_tpu.eval.metrics import MetricBag, Scalar
@@ -385,7 +385,7 @@ class Trainer:
         # (per-host buckets could differ and desynchronise the global
         # batch assembly — a scalar all-reduce per batch would fix it
         # if ever needed)
-        self._text_bucket = (getattr(cfg, "greedy_text_bucket", True)
+        self._text_bucket = (bucket_enabled(cfg, "train")
                              and not cfg.text_view
                              and not cfg.augmentation
                              and jax.process_count() == 1)

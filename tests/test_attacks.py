@@ -608,7 +608,7 @@ def test_fused_greedy_text_bucket_exact(moco_setup, tiny_tok,
 
     outs = {}
     for bucket in (False, True):
-        c = cfg.replace(greedy_text_bucket=bucket)
+        c = cfg.replace(attack_text_bucket=bucket)
         att = FusedGreedyAttack(
             GreedyAttackMoco(c, model, tiny_tok, tiny_synonyms))
         if bucket:

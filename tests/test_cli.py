@@ -131,3 +131,31 @@ def test_compile_cache_never_enabled_on_cpu(tmp_path, monkeypatch):
     ensure_compilation_cache()
     assert jax.config.jax_compilation_cache_dir == before
     assert not (tmp_path / "xla").exists()
+
+
+def test_text_bucket_flag_family():
+    """VERDICT r4 #5: the three text-bucket consumers (attack internals,
+    recall ranking, train-batch slicing) each have their own flag; the
+    pre-round-5 `greedy_text_bucket` name survives as the umbrella
+    default every unset per-consumer flag inherits."""
+    from rmcl_tpu.core.buckets import bucket_enabled
+    from rmcl_tpu.core.config import build_config
+
+    cfg = build_config("task_moco")
+    assert all(bucket_enabled(cfg, w) for w in ("attack", "eval", "train"))
+
+    # deprecated umbrella alias still controls all three
+    cfg = build_config("task_moco", greedy_text_bucket=False)
+    assert not any(bucket_enabled(cfg, w)
+                   for w in ("attack", "eval", "train"))
+
+    # per-consumer flags override the umbrella independently
+    cfg = build_config("task_moco", greedy_text_bucket=False,
+                       eval_text_bucket=True)
+    assert bucket_enabled(cfg, "eval")
+    assert not bucket_enabled(cfg, "attack")
+    assert not bucket_enabled(cfg, "train")
+
+    cfg = build_config("task_moco", attack_text_bucket=False)
+    assert not bucket_enabled(cfg, "attack")
+    assert bucket_enabled(cfg, "eval") and bucket_enabled(cfg, "train")

@@ -84,6 +84,55 @@ def test_vqa_overfit():
     _trend(_run(cfg, batch, 60), "vqa_loss", 0.1)
 
 
+def test_barlowtwins_overfit():
+    """The full BT step (frozen-key forward + PGD image view +
+    attacked-text view + both view, batch-coupled BN projector) must
+    drive the correlation loss down from its peak on a repeated batch.
+    Catches the λ (= adv_lr = 0.0051) off-diagonal sign/scale bug class
+    (reference objectives.py:476-534) that single-step finiteness tests
+    can't: a negated on-diag term or a mis-scaled redundancy term still
+    produces finite losses but never trends down."""
+    cfg = _tiny({"barlowtwins": 1}, learning_rate=2e-3,
+                adv_lr=0.0051, image_view=True, text_view=True,
+                bt_proj_dims=(64, 64, 32),
+                adv_steps_img=3, adv_lr_img=0.05, adv_max_norm_img=0.005)
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["attacked_text_ids"] = jnp.roll(batch["text_ids"], 1, axis=1)
+    batch["attacked_text_masks"] = batch["text_masks"]
+
+    history = _run(cfg, batch, 60)
+    # vs peak: the first steps move the BN running stats and the PGD
+    # delta against a fresh projector before the on-diagonal terms
+    # start aligning
+    _trend(history, "barlowtwins_loss", 0.5, vs="peak")
+    # the invariance (on-diagonal) terms must actually approach 1·I:
+    # they start near D (each diag entry ~0 -> (0-1)^2 summed) and
+    # collapse as q aligns with the frozen k
+    _trend(history, "barlowtwins_loss_invariance_text", 0.5, vs="peak")
+
+
+def test_nlvr2_overfit():
+    """NLVR2 CE on a fixed two-image batch must overfit to ~chance-free
+    accuracy (reference compute_nlvr2, objectives.py:1002-1060)."""
+    cfg = _tiny({"nlvr2": 1}, learning_rate=5e-3)
+    b = make_fake_batch(cfg, batch=8)
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["image_1"] = jnp.asarray(
+        make_fake_batch(cfg, batch=8, seed=3)["image"])
+    # the 3-row token-type embedding path reads image_0 when present
+    batch["image_0"] = batch.pop("image")
+    batch["answers"] = jnp.asarray(
+        np.arange(8) % 2, jnp.int32)
+
+    history = _run(cfg, batch, 60)
+    _trend(history, "nlvr2_loss", 0.1)
+    # step accuracy is emitted in-graph; the fixed batch must become
+    # fully separable
+    acc = [h["nlvr2_step_accuracy"] for h in history]
+    assert float(np.mean(acc[-5:])) >= 0.99, acc
+
+
 def test_moco_rmcl_overfit():
     """The FULL RMCL MoCo step (EMA twins + 5-step PGD image view +
     attacked-text view + 16-slot queue) must still learn on a repeated

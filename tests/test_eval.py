@@ -939,7 +939,7 @@ def test_recall_text_bucket_exact(tmp_path):
             compute_dtype="float32", drop_rate=0.0, max_steps=2,
             warmup_steps=0, batch_size=8, draw_false_text=2,
             num_workers=2, max_image_len=-1,
-            greedy_text_bucket=bucket,
+            eval_text_bucket=bucket,
             log_dir=str(tmp_path / f"out{int(bucket)}"))
         tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab,
                      use_mesh=False)
@@ -989,7 +989,7 @@ def test_trainer_text_bucket_parity(tmp_path):
             # threads is racy — irrelevant to bucketing but fatal to a
             # run-vs-run parity assertion
             num_workers=1, max_image_len=-1,
-            greedy_text_bucket=bucket,
+            train_text_bucket=bucket,
             log_dir=str(tmp_path / f"out{int(bucket)}"))
         tr = Trainer(cfg, workdir=cfg.log_dir, vocab_path=vocab,
                      use_mesh=False)
@@ -1049,3 +1049,72 @@ def test_trainer_text_bucket_parity(tmp_path):
                  use_mesh=False)
     tr.setup()
     assert tr._text_bucket is False
+
+
+def test_val_loss_exact_under_wrap_padding():
+    """PARITY #10 closure: a wrap-padded final batch (static-shape val
+    loader, data/loader.py) must produce IDENTICAL val `*_loss` scalars
+    to an exact-size final batch (torch's ragged last batch, reference
+    base_dataset.py:184-206).  Exercises the per-sample loss
+    decomposition end-to-end: the eval step emits `{key}_ps` (+ `_wt`
+    for token-weighted losses) and MetricBag recombines over the valid
+    rows only."""
+    import jax
+    import jax.numpy as jnp
+
+    from rmcl_tpu.core.config import build_config, loss_names
+    from rmcl_tpu.eval.metrics import MetricBag
+    from rmcl_tpu.train.step import create_train_state, make_eval_step
+    from tests.conftest import make_fake_batch
+
+    cfg = build_config(
+        hidden_size=32, num_heads=2, num_layers=2, patch_size=16,
+        image_size=32, image_bucket_hw=(32, 48), max_text_len=10,
+        vocab_size=64, vqav2_label_size=8,
+        loss_names=loss_names({"mlm": 1, "vqa": 1, "nlvr2": 1}),
+        use_pallas_attention=False, compute_dtype="float32",
+        drop_rate=0.0, max_steps=10)
+    model, ts, _ = create_train_state(jax.random.PRNGKey(0), cfg)
+    eval_fn = make_eval_step(cfg, model)
+
+    B, real = 6, 4
+    b = make_fake_batch(cfg, batch=B)
+    labels = np.full_like(b["text_ids"], -100)
+    labels[:, 2:5] = b["text_ids"][:, 2:5]
+    # unequal per-sample token counts: sample 0 has an extra masked
+    # position, so token-weighted recombination is actually exercised
+    labels[0, 6] = b["text_ids"][0, 6]
+    batch = {k: jnp.asarray(v) for k, v in b.items()}
+    batch["text_ids_mlm"] = batch["text_ids"]
+    batch["text_labels_mlm"] = jnp.asarray(labels)
+    t = np.zeros((B, 8), np.float32)
+    t[np.arange(B), np.arange(B) % 8] = 1.0
+    batch["vqa_targets"] = jnp.asarray(t)
+    batch["image_1"] = jnp.asarray(make_fake_batch(cfg, batch=B,
+                                                   seed=3)["image"])
+    batch["answers"] = jnp.asarray(np.arange(B) % 2, jnp.int32)
+
+    rng = jax.random.PRNGKey(1)
+    ret_full = {k: np.asarray(v)
+                for k, v in eval_fn(ts.params, ts.state, batch, rng).items()
+                if hasattr(v, "ndim")}
+
+    # exact-size final batch: same rows, no padding
+    small = {k: (v[:real] if getattr(v, "ndim", 0) >= 1
+                 and v.shape[0] == B else v) for k, v in batch.items()}
+    ret_small = {k: np.asarray(v)
+                 for k, v in eval_fn(ts.params, ts.state, small,
+                                     rng).items() if hasattr(v, "ndim")}
+
+    valid = np.zeros((B,), bool)
+    valid[:real] = True
+    bag_pad = MetricBag(cfg.loss_names)
+    bag_pad.update(ret_full, valid=valid)
+    bag_ex = MetricBag(cfg.loss_names)
+    bag_ex.update(ret_small)
+
+    out_pad = bag_pad.epoch_wrapup("val")
+    out_ex = bag_ex.epoch_wrapup("val")
+    for key in ("mlm_loss", "vqa_loss", "nlvr2_loss"):
+        np.testing.assert_allclose(out_pad[key], out_ex[key], rtol=1e-6,
+                                   err_msg=key)
