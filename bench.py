@@ -639,7 +639,8 @@ def run_barlowtwins():
         "task_barlowtwins",
         image_bucket_hw=(384, 576),
         max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
-        image_view=True, text_view=True,
+        image_view=os.environ.get("BENCH_IMAGE_VIEW", "1") == "1",
+        text_view=os.environ.get("BENCH_TEXT_VIEW", "1") == "1",
         adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
         compute_dtype="bfloat16" if on_tpu else "float32",
         per_device_batchsize=BATCH, max_steps=200000,
@@ -783,6 +784,11 @@ def main():
 
     task = os.environ.get("BENCH_TASK", "")
     if task:
+        # persistent compile cache (TPU-gated, core/tpu_env.py): the
+        # per-task subprocesses re-dispatch identical programs across
+        # bench invocations; replaying them beats the 25-70 s compiles
+        from rmcl_tpu.core.tpu_env import ensure_compilation_cache
+        ensure_compilation_cache()
         result = _TASK_RUNNERS[task]()
         if result is not None:
             print(json.dumps(result))

@@ -529,16 +529,31 @@ class GreedyAttackBarlowTwins(GreedyAttack):
         q_cand = q_cand.reshape(B, nc, D).astype(jnp.float32)
         q32, k32 = q_orig.astype(jnp.float32), k.astype(jnp.float32)
 
-        c = q32.T @ k32 / psb                          # (D, D)
-        diag_c = jnp.diagonal(c)
-        sum_sq = jnp.sum(c ** 2)
+        # rank-structured base terms (B << D): diag, ||c||^2 and c@v_i
+        # from (B, B) Grams instead of the (D, D) correlation matrix —
+        # same algebra as objectives/contrastive.py:bt_correlation_loss
+        # round-5 note (c has rank <= B; materializing 8192^2 fp32 is
+        # pure HBM traffic); explicit matrix kept for the B >= D regime
+        if B >= D:
+            c = q32.T @ k32 / psb                      # (D, D)
+            diag_c = jnp.diagonal(c)
+            sum_sq = jnp.sum(c ** 2)
+        else:
+            diag_c = jnp.sum(q32 * k32, axis=0) / psb  # (D,)
+            gq = q32 @ q32.T
+            gk = k32 @ k32.T
+            sum_sq = jnp.sum(gq * gk) / (psb * psb)
         sum_diag_sq = jnp.sum(diag_c ** 2)
         on_base = jnp.sum((diag_c - 1.0) ** 2)
         # For candidate (i, j): c' = c + u v^T, u=(q_cand-q_orig_i)/psb, v=k_i
         u = (q_cand - q32[:, None, :]) / psb           # (B, nc, D)
         v = k32                                        # (B, D)
         # ||c'||^2 = ||c||^2 + 2 u.(c @ v) + ||u||^2 ||v||^2
-        cvi = jnp.einsum("de,be->bd", c, v)            # (B, D) = c @ v_i
+        if B >= D:
+            cvi = jnp.einsum("de,be->bd", c, v)        # (B, D) = c @ v_i
+        else:
+            # c @ v_b = q^T (k v_b) / psb via the (B, B) cross-Gram
+            cvi = ((v @ k32.T) @ q32) / psb            # (B, D)
         dot_ucv = jnp.einsum("bnd,bd->bn", u, cvi)
         norm2 = jnp.sum(u ** 2, -1) * jnp.sum(v ** 2, -1)[:, None]
         sum_sq_new = sum_sq + 2 * dot_ucv + norm2

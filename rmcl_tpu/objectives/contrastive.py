@@ -319,10 +319,34 @@ def _off_diagonal_sumsq(c):
 def bt_correlation_loss(q, k, per_step_bs: int, lam: float):
     """on-diag (1-c_ii)^2 + lam * off-diag c_ij^2 where
     c = q.T @ k / per_step_bs (reference objectives.py:476-482).
-    Under the global view this already includes the cross-replica sum."""
-    c = (q.astype(jnp.float32).T @ k.astype(jnp.float32)) / per_step_bs
-    on_diag = jnp.sum((jnp.diagonal(c) - 1.0) ** 2)
-    off_diag = _off_diagonal_sumsq(c)
+    Under the global view this already includes the cross-replica sum.
+
+    TPU redesign (round 5): the reference materializes the (D, D)
+    correlation matrix (D = 8192 -> 268 MB fp32) for every view loss
+    AND every PGD iteration — measured ~5 ms of HBM traffic per touch
+    chain on v5e (~30% of the BT step).  With B << D the matrix has
+    rank <= B, so the loss needs only rank-structured pieces:
+      diag(c)_d = sum_n q_nd k_nd / psb                   (B, D) reads
+      ||c||_F^2 = sum_ij (q q^T)_ij (k k^T)_ij / psb^2    two (B, B) Grams
+      off-diag  = ||c||^2 - sum_d diag_d^2
+    ALGEBRAICALLY IDENTICAL to the masked (D, D) form (fp32 summation
+    order differs — same numeric class as any XLA regrouping; parity
+    vs the explicit matrix is pinned in tests/test_objectives.py).
+    The explicit path is kept for the B >= D regime where the Grams
+    stop being the cheap side."""
+    q32, k32 = q.astype(jnp.float32), k.astype(jnp.float32)
+    B, D = q32.shape
+    if B >= D:
+        c = (q32.T @ k32) / per_step_bs
+        on_diag = jnp.sum((jnp.diagonal(c) - 1.0) ** 2)
+        off_diag = _off_diagonal_sumsq(c)
+        return on_diag + lam * off_diag, on_diag, lam * off_diag
+    diag = jnp.sum(q32 * k32, axis=0) / per_step_bs          # (D,)
+    gq = q32 @ q32.T                                          # (B, B)
+    gk = k32 @ k32.T                                          # (B, B)
+    sum_sq = jnp.sum(gq * gk) / (per_step_bs * per_step_bs)
+    on_diag = jnp.sum((diag - 1.0) ** 2)
+    off_diag = sum_sq - jnp.sum(diag ** 2)
     return on_diag + lam * off_diag, on_diag, lam * off_diag
 
 

@@ -238,3 +238,34 @@ def test_moco_fused_views_match_unfused():
     np.testing.assert_allclose(float(r0["pos_cosine_attacked_txt"]),
                                float(r1["pos_cosine_attacked_txt"]),
                                rtol=1e-5)
+
+
+def test_bt_correlation_loss_gram_matches_explicit():
+    """Round-5 BT loss redesign: the rank-structured (B, B)-Gram form
+    must match the reference's explicit (D, D) correlation-matrix form
+    (objectives.py:476-482) to fp32 summation-order tolerance, for
+    B < D and B >= D and through gradients (the PGD attack
+    differentiates this loss w.r.t. the image)."""
+    import jax
+    from rmcl_tpu.objectives.contrastive import (
+        _off_diagonal_sumsq, bt_correlation_loss)
+
+    def explicit(q, k, psb, lam):
+        c = (q.astype(jnp.float32).T @ k.astype(jnp.float32)) / psb
+        on = jnp.sum((jnp.diagonal(c) - 1.0) ** 2)
+        off = _off_diagonal_sumsq(c)
+        return on + lam * off
+
+    r = np.random.RandomState(0)
+    for B, D in ((4, 64), (64, 4)):
+        q = jnp.asarray(r.randn(B, D).astype(np.float32))
+        k = jnp.asarray(r.randn(B, D).astype(np.float32))
+        got, on, off = bt_correlation_loss(q, k, B, 0.0051)
+        want = explicit(q, k, B, 0.0051)
+        np.testing.assert_allclose(float(got), float(want), rtol=2e-5)
+        np.testing.assert_allclose(float(on + off), float(got), rtol=1e-6)
+
+        g1 = jax.grad(lambda q_: bt_correlation_loss(q_, k, B, 0.0051)[0])(q)
+        g2 = jax.grad(lambda q_: explicit(q_, k, B, 0.0051))(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=1e-4, atol=1e-6)
