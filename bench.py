@@ -242,6 +242,7 @@ def run_moco():
         remat_policy=os.environ.get("BENCH_REMAT_POLICY", "full"),
         pgd_remat=(None if "BENCH_PGD_REMAT" not in os.environ
                    else os.environ["BENCH_PGD_REMAT"] == "1"),
+        pgd_kernel_impl=os.environ.get("BENCH_PGD_KERNELS", ""),
         drop_rate=float(os.environ.get("BENCH_DROPOUT", "0.1")),
         dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
         block_layout=os.environ.get("BENCH_BLOCK_LAYOUT", "3d"),

@@ -69,6 +69,16 @@ def _fast_visual(model, frozen, batch, imgkey: str = "image",
     # stays the winner (HBM-bound: recompute beats activation
     # write-back, 19.9 vs 22.3 ms/iter).  cfg.pgd_remat overrides.
     spec = model.spec
+    if getattr(cfg, "pgd_kernel_impl", "") == "xla" \
+            and (spec.attn_impl == "fused"
+                 or spec.mlp_impl in ("fused", "fused_train")):
+        # XLA block path inside the attack only: frozen params are
+        # stop_gradient constants there, so XLA DCEs every wgrad
+        # matmul the opaque fused backward kernels would compute —
+        # a PGD iter drops from ~3 fwd-equivalents to 2 (see
+        # cfg.pgd_kernel_impl).  xla_bf16 keeps the S² matmuls on
+        # the MXU in bf16 like the kernels do.
+        spec = spec._replace(attn_impl="xla_bf16", mlp_impl="xla")
     pgd_remat = cfg.pgd_remat
     if (pgd_remat is None and spec.attn_impl == "fused"
             and spec.mlp_impl == "fused"):

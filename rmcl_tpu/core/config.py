@@ -329,6 +329,21 @@ class RMCLConfig:
     # not params, so its activation live-set is smaller than the train
     # step's and the trade-off can differ (attacks/pgd.py)
     pgd_remat: Optional[bool] = None
+    # kernel implementation override for the PGD inner loop's forwards
+    # ("" inherits the train impls; "xla" forces the XLA block path
+    # with bf16-S² attention).  Rationale: the fused Mosaic backward
+    # kernels compute dW and dx inseparably in one opaque kernel, so a
+    # PGD iteration — which only needs dL/dδ through FROZEN params —
+    # pays an in-kernel forward recompute (~3 fwd-equivalents per iter
+    # instead of 2) because the dx-only det backward rebuilds the
+    # attention tensors from x.  MEASURED DEAD END on v5e (round 5,
+    # ROADMAP "Round 5 findings"): the XLA path either stores every
+    # activation of the 5-iter loop (b128 remat=0: compile OOM, 25 GB)
+    # or replays the forward under remat (b128: 1678 vs 1069.8 ms;
+    # b16: 201.7 vs 149.6) — the fused det kernels' recompute IS the
+    # cheapest known dx path at both batch sizes.  Knob kept for
+    # other geometries.
+    pgd_kernel_impl: str = ""
     # batch the MoCo clean+attacked view forwards into one 4B pass
     # (same math, one rng stream instead of per-view streams).
     # Measured SLOWER on v5e at b16 (45.7 vs 56.8 pairs/s — the larger
