@@ -265,22 +265,7 @@ def run_moco():
     if GREEDY:
         return bench_greedy(cfg, model, ts, tx, step_fn, batch, rng)
 
-    log("compiling...")
-    t0 = time.perf_counter()
-    ts, metrics = step_fn(ts, batch, rng)
-    jax.block_until_ready(metrics)
-    log(f"compile+first step: {time.perf_counter() - t0:.1f}s "
-        f"moco_loss={float(metrics['moco_loss']):.4f}")
-
-    for _ in range(WARMUP):
-        ts, metrics = step_fn(ts, batch, rng)
-    jax.block_until_ready(metrics)
-
-    t0 = time.perf_counter()
-    for _ in range(ITERS):
-        ts, metrics = step_fn(ts, batch, rng)
-    jax.block_until_ready(metrics)
-    dt = (time.perf_counter() - t0) / ITERS
+    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng, "moco_loss")
 
     pairs_per_sec = BATCH / dt
     mfu = step_mfu(cfg, BATCH, dt)
@@ -532,6 +517,10 @@ def measure_fused_greedy(cfg, model, rng, attacker_cls=None,
     base = {k: v for k, v in batch.items() if not k.startswith("attacked")}
     if extra_batch:
         base.update({k: jnp.asarray(v) for k, v in extra_batch.items()})
+        if "image_0" in base:
+            # two-image task: the single-image key would ride into the
+            # jitted program as dead weight (infer prefers image_0/1)
+            base.pop("image", None)
     step2 = make_attacked_train_step(cfg, model, tx, greedy, donate=True)
 
     out = {}
@@ -621,27 +610,13 @@ def _timed_clean_step(cfg, step_fn, ts, batch, rng, loss_key):
     return (time.perf_counter() - t0) / ITERS
 
 
-def run_barlowtwins():
-    """`task_barlowtwins` (reference vilt/config.py:166-199): clean
-    step (EMA-free: frozen key forward + PGD image view + attacked-text
-    view + both view + BT correlation losses + AdamW) and the
-    one-program greedy-attacked step.  The attacked path is the
-    structurally different one (VERDICT r4 #1): the projector BN's
-    batch coupling disables live-set compaction AND chunked candidate
-    scoring (attacks/greedy_fused.py), so its rate is NOT implied by
-    the MoCo numbers."""
-    import jax
-    import jax.numpy as jnp
-    from rmcl_tpu.attacks.greedy import GreedyAttackBarlowTwins
+def _framework_cfg(preset: str, on_tpu: bool):
+    """Shared bench config for the non-MoCo framework runners — one
+    place for the env knobs so a timing-protocol change cannot drift
+    between tasks (round-5 review)."""
     from rmcl_tpu.core.config import build_config
-    from rmcl_tpu.train.step import create_train_state, make_train_step
-    from __graft_entry__ import _fake_batch
-
-    dev = jax.devices()[0]
-    log(f"benchmarking task_barlowtwins on {dev.platform}:{dev.device_kind}")
-    on_tpu = dev.platform == "tpu"
-    cfg = build_config(
-        "task_barlowtwins",
+    return build_config(
+        preset,
         image_bucket_hw=(384, 576),
         max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
         image_view=os.environ.get("BENCH_IMAGE_VIEW", "1") == "1",
@@ -652,121 +627,115 @@ def run_barlowtwins():
         image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
         dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
     )
+
+
+def _run_framework(preset, metric, value_kind, loss_key, mfu_fn,
+                   attacker_cls_name, flip_key=None, make_extra=None):
+    """Generic bench engine for one non-MoCo framework: timed clean/PGD
+    step + (optionally) the one-program greedy-attacked step, emitting
+    the same result schema for every task."""
+    import jax
+    import jax.numpy as jnp
+    from rmcl_tpu.attacks import greedy as G
+    from rmcl_tpu.train.step import create_train_state, make_train_step
+    from __graft_entry__ import _fake_batch
+
+    dev = jax.devices()[0]
+    log(f"benchmarking {preset} on {dev.platform}:{dev.device_kind}")
+    cfg = _framework_cfg(preset, dev.platform == "tpu")
     model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
     step_fn = make_train_step(cfg, model, tx, donate=True)
+
+    fb = _fake_batch(cfg, BATCH, with_views=True)
+    extra = make_extra(cfg, fb) if make_extra is not None else None
     batch = {k: jnp.asarray(v)
-             for k, v in _fake_batch(cfg, BATCH, with_views=True).items()}
+             for k, v in {**fb, **(extra or {})}.items()}
     rng = jax.random.PRNGKey(1)
 
-    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng,
-                           "barlowtwins_loss")
+    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng, loss_key)
     pairs = BATCH / dt
-    mfu = bt_step_mfu(cfg, BATCH, dt)
-    log(f"bt clean step {dt*1e3:.1f} ms -> {pairs:.1f} pairs/s/chip "
+    mfu = mfu_fn(cfg, BATCH, dt)
+    log(f"{preset} step {dt*1e3:.1f} ms -> {pairs:.1f} pairs/s/chip "
         f"(MFU {mfu:.1%})")
     result = {
-        "metric": "rmcl_barlowtwins_step_pairs_per_sec_per_chip",
+        "metric": metric,
         "value": round(pairs, 2),
-        "value_kind": "clean_step",
+        "value_kind": value_kind,
         "unit": "pairs/s",
         "mfu": round(mfu, 4),
     }
 
     if os.environ.get("BENCH_INCLUDE_GREEDY", "1") == "1":
         del ts, batch  # free HBM before the attack program compiles
-        # BT has no per-sample prediction to flip (correlation loss) —
-        # flip_key=None; strength is guarded by num_changes.
         g = measure_fused_greedy(cfg, model, rng,
-                                 attacker_cls=GreedyAttackBarlowTwins,
-                                 loss_key="barlowtwins_loss",
-                                 flip_key=None)
+                                 attacker_cls=getattr(G,
+                                                      attacker_cls_name),
+                                 extra_batch=extra,
+                                 loss_key=loss_key, flip_key=flip_key)
         result["attacked_pairs_per_sec"] = round(g["realistic"], 2)
         result["attacked_worst_pairs_per_sec"] = round(g["worst"], 2)
         result["attacked_num_changes"] = round(
             g["realistic_num_changes"], 3)
         result["attacked_worst_num_changes"] = round(
             g["worst_num_changes"], 3)
+        if flip_key is not None:
+            result["attacked_pred_flip_rate"] = round(
+                g["realistic_flip_rate"], 3)
+            result["attacked_worst_pred_flip_rate"] = round(
+                g["worst_flip_rate"], 3)
         result["attack_strength_ok"] = True
     return result
+
+
+def _nlvr2_extra(cfg, fb):
+    """Two-image batch: image -> image_0, fresh image_1, binary answers
+    (the single-image key is dropped — infer prefers image_0/1)."""
+    from __graft_entry__ import _fake_batch
+    return {
+        "image_0": fb.pop("image"),
+        "image_1": _fake_batch(cfg, BATCH, seed=3)["image"],
+        "answers": np.random.RandomState(2).randint(
+            0, 2, (BATCH,)).astype(np.int32),
+    }
+
+
+def _vqa_extra(cfg, fb):
+    r = np.random.RandomState(2)
+    t = np.zeros((BATCH, cfg.vqav2_label_size), np.float32)
+    t[np.arange(BATCH), r.randint(0, cfg.vqav2_label_size, BATCH)] = 1.0
+    t[np.arange(BATCH), r.randint(0, cfg.vqav2_label_size, BATCH)] = 0.3
+    return {"vqa_targets": t}
+
+
+def run_barlowtwins():
+    """`task_barlowtwins` (reference vilt/config.py:166-199): clean
+    step (frozen key forward + PGD image view + attacked-text view +
+    both view + BT correlation losses + AdamW) and the one-program
+    greedy-attacked step.  The attacked path is structurally different
+    from MoCo's (VERDICT r4 #1): the projector BN's batch coupling
+    disables live-set compaction AND chunked candidate scoring
+    (attacks/greedy_fused.py); BT also has no per-sample prediction to
+    flip (correlation loss), so outcome is guarded by num_changes."""
+    return _run_framework(
+        "task_barlowtwins",
+        "rmcl_barlowtwins_step_pairs_per_sec_per_chip",
+        "clean_step", "barlowtwins_loss", bt_step_mfu,
+        "GreedyAttackBarlowTwins")
 
 
 def run_nlvr2_attacked():
     """`task_finetune_nlvr2_randaug_attacked` (reference
     vilt/config.py:258-287, pgd_attack_vilt.py:241-342): the two-image
     attacked finetune step.  `value` is the PGD-inclusive train step
-    (original CE + 5-step PGD on BOTH images + attacked CE — the PGD
-    attack is part of the objective, not an add-on), with the greedy
-    text attack one-program rate co-equal."""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    from rmcl_tpu.attacks.greedy import GreedyAttackNlvr2
-    from rmcl_tpu.core.config import build_config
-    from rmcl_tpu.train.step import create_train_state, make_train_step
-    from __graft_entry__ import _fake_batch
-
-    dev = jax.devices()[0]
-    log(f"benchmarking task_finetune_nlvr2_randaug_attacked on "
-        f"{dev.platform}:{dev.device_kind}")
-    on_tpu = dev.platform == "tpu"
-    cfg = build_config(
+    (original CE + 5-step PGD on BOTH images + attacked CE — PGD is
+    part of the objective), with the greedy text attack one-program
+    rate co-equal."""
+    return _run_framework(
         "task_finetune_nlvr2_randaug_attacked",
-        image_bucket_hw=(384, 576),
-        max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
-        image_view=True, text_view=True,
-        adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
-        compute_dtype="bfloat16" if on_tpu else "float32",
-        per_device_batchsize=BATCH, max_steps=200000,
-        image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
-        dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
-    )
-    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
-    step_fn = make_train_step(cfg, model, tx, donate=True)
-
-    fb0 = _fake_batch(cfg, BATCH, seed=0, with_views=True)
-    fb1 = _fake_batch(cfg, BATCH, seed=3)
-    extra = {
-        "image_0": fb0.pop("image"),
-        "image_1": fb1["image"],
-        "answers": np.random.RandomState(2).randint(
-            0, 2, (BATCH,)).astype(np.int32),
-    }
-    batch = {k: jnp.asarray(v) for k, v in {**fb0, **extra}.items()}
-    rng = jax.random.PRNGKey(1)
-
-    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng,
-                           "nlvr2_attacked_loss")
-    pairs = BATCH / dt
-    mfu = nlvr2_step_mfu(cfg, BATCH, dt)
-    log(f"nlvr2 pgd step {dt*1e3:.1f} ms -> {pairs:.1f} pairs/s/chip "
-        f"(MFU {mfu:.1%})")
-    result = {
-        "metric": "rmcl_nlvr2_attacked_step_pairs_per_sec_per_chip",
-        "value": round(pairs, 2),
-        "value_kind": "pgd_step",  # PGD is part of this objective
-        "unit": "pairs/s",
-        "mfu": round(mfu, 4),
-    }
-
-    if os.environ.get("BENCH_INCLUDE_GREEDY", "1") == "1":
-        del ts, batch
-        g = measure_fused_greedy(cfg, model, rng,
-                                 attacker_cls=GreedyAttackNlvr2,
-                                 extra_batch=extra,
-                                 loss_key="nlvr2_attacked_loss",
-                                 flip_key="nlvr2_flip_rate")
-        result["attacked_pairs_per_sec"] = round(g["realistic"], 2)
-        result["attacked_worst_pairs_per_sec"] = round(g["worst"], 2)
-        result["attacked_num_changes"] = round(
-            g["realistic_num_changes"], 3)
-        result["attacked_worst_num_changes"] = round(
-            g["worst_num_changes"], 3)
-        result["attacked_pred_flip_rate"] = round(
-            g["realistic_flip_rate"], 3)
-        result["attacked_worst_pred_flip_rate"] = round(
-            g["worst_flip_rate"], 3)
-        result["attack_strength_ok"] = True
-    return result
+        "rmcl_nlvr2_attacked_step_pairs_per_sec_per_chip",
+        "pgd_step", "nlvr2_attacked_loss", nlvr2_step_mfu,
+        "GreedyAttackNlvr2", flip_key="nlvr2_flip_rate",
+        make_extra=_nlvr2_extra)
 
 
 def vqa_step_mfu(cfg, batch_size: int, dt_sec: float) -> float:
@@ -783,75 +752,17 @@ def run_vqa_attacked():
     """`task_finetune_vqa_randaug_attacked` (reference
     vilt/config.py:319-347, pgd_attack_vilt.py:418-483): PGD on the
     image + greedy text on the question, BCE against the 3129-way soft
-    targets.  (The remaining attacked framework, irtr_attacked, is
-    `test_only=True` in the reference (config.py:377-406) — its
-    workflow is the attacked recall EVAL, measured separately — so no
-    train-step bench exists to mirror.)"""
-    import jax
-    import jax.numpy as jnp
-    from rmcl_tpu.attacks.greedy import GreedyAttackVqa
-    from rmcl_tpu.core.config import build_config
-    from rmcl_tpu.train.step import create_train_state, make_train_step
-    from __graft_entry__ import _fake_batch
-
-    dev = jax.devices()[0]
-    log(f"benchmarking task_finetune_vqa_randaug_attacked on "
-        f"{dev.platform}:{dev.device_kind}")
-    on_tpu = dev.platform == "tpu"
-    cfg = build_config(
+    targets.  No clean logits exist under the attacked-only loss
+    config, so the attack outcome is guarded by num_changes.  (The
+    remaining attacked framework, irtr_attacked, is `test_only=True`
+    in the reference (config.py:377-406) — its workflow is the
+    attacked recall EVAL, measured separately — so no train-step
+    bench exists to mirror.)"""
+    return _run_framework(
         "task_finetune_vqa_randaug_attacked",
-        image_bucket_hw=(384, 576),
-        max_image_len=int(os.environ.get("BENCH_MAX_IMAGE_LEN", "200")),
-        image_view=True, text_view=True,
-        adv_steps_img=int(os.environ.get("BENCH_PGD_STEPS", "5")),
-        compute_dtype="bfloat16" if on_tpu else "float32",
-        per_device_batchsize=BATCH, max_steps=200000,
-        image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
-        dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
-    )
-    model, ts, tx = create_train_state(jax.random.PRNGKey(0), cfg)
-    step_fn = make_train_step(cfg, model, tx, donate=True)
-
-    fb = _fake_batch(cfg, BATCH, with_views=True)
-    r = np.random.RandomState(2)
-    t = np.zeros((BATCH, cfg.vqav2_label_size), np.float32)
-    t[np.arange(BATCH), r.randint(0, cfg.vqav2_label_size, BATCH)] = 1.0
-    t[np.arange(BATCH), r.randint(0, cfg.vqav2_label_size, BATCH)] = 0.3
-    extra = {"vqa_targets": t}
-    batch = {k: jnp.asarray(v) for k, v in {**fb, **extra}.items()}
-    rng = jax.random.PRNGKey(1)
-
-    dt = _timed_clean_step(cfg, step_fn, ts, batch, rng,
-                           "vqa_attacked_loss")
-    pairs = BATCH / dt
-    mfu = vqa_step_mfu(cfg, BATCH, dt)
-    log(f"vqa pgd step {dt*1e3:.1f} ms -> {pairs:.1f} pairs/s/chip "
-        f"(MFU {mfu:.1%})")
-    result = {
-        "metric": "rmcl_vqa_attacked_step_pairs_per_sec_per_chip",
-        "value": round(pairs, 2),
-        "value_kind": "pgd_step",
-        "unit": "pairs/s",
-        "mfu": round(mfu, 4),
-    }
-
-    if os.environ.get("BENCH_INCLUDE_GREEDY", "1") == "1":
-        del ts, batch
-        # no clean logits exist under the attacked-only loss config —
-        # outcome is guarded by num_changes (flip_key=None), like BT
-        g = measure_fused_greedy(cfg, model, rng,
-                                 attacker_cls=GreedyAttackVqa,
-                                 extra_batch=extra,
-                                 loss_key="vqa_attacked_loss",
-                                 flip_key=None)
-        result["attacked_pairs_per_sec"] = round(g["realistic"], 2)
-        result["attacked_worst_pairs_per_sec"] = round(g["worst"], 2)
-        result["attacked_num_changes"] = round(
-            g["realistic_num_changes"], 3)
-        result["attacked_worst_num_changes"] = round(
-            g["worst_num_changes"], 3)
-        result["attack_strength_ok"] = True
-    return result
+        "rmcl_vqa_attacked_step_pairs_per_sec_per_chip",
+        "pgd_step", "vqa_attacked_loss", vqa_step_mfu,
+        "GreedyAttackVqa", make_extra=_vqa_extra)
 
 
 _TASK_RUNNERS = {
@@ -896,14 +807,22 @@ def main():
             print(json.dumps(result))
         return
 
-    merged = None
+    merged: dict = {}
+    extras: dict = {}
     for t in tasks:
         env = dict(os.environ, BENCH_TASK=t)
         log(f"=== bench task {t} (subprocess) ===")
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__)], env=env,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-            capture_output=True, text=True, timeout=3600)
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)], env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                capture_output=True, text=True, timeout=3600)
+        except subprocess.TimeoutExpired as e:
+            # a stalled subtask must not sink the others' results
+            if t == "moco":
+                raise
+            log(f"bench task {t} timed out — headline unaffected: {e}")
+            continue
         sys.stderr.write(proc.stderr)
         line = next((ln for ln in reversed(proc.stdout.splitlines())
                      if ln.startswith("{")), None)
@@ -917,14 +836,21 @@ def main():
             continue
         sub = json.loads(line)
         if t == "moco":
-            merged = sub
+            merged = dict(merged, **sub)   # headline fields win
         else:
             pre = _TASK_PREFIX[t]
-            merged[pre + "pairs_per_sec"] = sub["value"]
-            merged[pre + "mfu"] = sub["mfu"]
+            extras[pre + "pairs_per_sec"] = sub["value"]
+            extras[pre + "mfu"] = sub["mfu"]
             for k, v in sub.items():
                 if k.startswith(("attacked_", "attack_")):
-                    merged[pre + k] = v
+                    extras[pre + k] = v
+            if "moco" not in tasks and not merged:
+                # no headline task requested: promote the first
+                # subtask's identity fields so the line stands alone
+                merged = {k: sub[k] for k in
+                          ("metric", "value", "value_kind", "unit")
+                          if k in sub}
+    merged.update(extras)
     print(json.dumps(merged))
 
 

@@ -254,6 +254,26 @@ def make_greedy_extras_fn(cfg: RMCLConfig, model):
     return lambda ts, batch: f(ts.params, ts.state, batch)
 
 
+def preempt_consensus(cfg: RMCLConfig, requested: bool,
+                      steps_done: int) -> bool:
+    """Step-boundary preemption consensus (SURVEY §5.3).  Single
+    process: the local flag.  Multi-host: the flag is any-reduced
+    across hosts every `preempt_sync_every` micro-batches, so every
+    host leaves the step loop — and enters the collective checkpoint
+    save — at the SAME step (a host acting on its local flag alone
+    would deadlock the others' collectives).  Module-level so the
+    multi-host dryrun (`__graft_entry__._mp_phase_worker`) drives this
+    EXACT code path, not a copy."""
+    if not cfg.graceful_preemption:
+        return False
+    if jax.process_count() == 1:
+        return requested
+    if steps_done % max(cfg.preempt_sync_every, 1):
+        return False
+    from rmcl_tpu.parallel import comm
+    return any(comm.all_gather(bool(requested)))
+
+
 def load_initial_params(cfg, params, state):
     """cfg.load_path handling (reference vilt_module.py:134-160
     train / :256-268 test): torch .ckpt files are converted with
@@ -528,20 +548,8 @@ class Trainer:
         return guard()
 
     def _preempt_now(self) -> bool:
-        """Step-boundary preemption consensus.  Single process: the
-        local flag.  Multi-host: the flag is any-reduced across hosts
-        every `preempt_sync_every` micro-batches, so every host leaves
-        the step loop — and enters the collective checkpoint save — at
-        the SAME step (a host acting on its local flag alone would
-        deadlock the others' collectives)."""
-        if not self.cfg.graceful_preemption:
-            return False
-        if jax.process_count() == 1:
-            return self._preempt_requested
-        if self.steps_done % max(self.cfg.preempt_sync_every, 1):
-            return False
-        from rmcl_tpu.parallel import comm
-        return any(comm.all_gather(bool(self._preempt_requested)))
+        return preempt_consensus(self.cfg, self._preempt_requested,
+                                 self.steps_done)
 
     # --------------------------------------------------------------- run
     def fit(self, max_steps_override: Optional[int] = None,
