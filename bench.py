@@ -626,6 +626,8 @@ def _framework_cfg(preset: str, on_tpu: bool):
         per_device_batchsize=BATCH, max_steps=200000,
         image_layout=os.environ.get("BENCH_LAYOUT", "patch"),
         dropout_impl=os.environ.get("BENCH_DROPOUT_IMPL", "rbg"),
+        **({"max_loops": int(os.environ["BENCH_GREEDY_LOOPS"])}
+           if "BENCH_GREEDY_LOOPS" in os.environ else {}),
     )
 
 
